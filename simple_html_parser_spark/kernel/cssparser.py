@@ -1,0 +1,226 @@
+"""CSS parser — semantics-identical to the reference recursive-descent
+parser (/root/reference/src/css-parser.js:49-396), re-expressed as an
+ITERATIVE cursor machine writing into a :class:`FlatTree`.
+
+Differences from the reference that are deliberate:
+
+- No recursion (parseBlock/parseRule/parseAtRule recurse in JS; a
+  deeply-nested adversarial stylesheet would overflow the Python stack
+  inside an executor task, so nesting is a container *stack*).
+- The reference infinite-loops on a top-level ``{`` with an empty
+  selector (parseRule returns null without advancing, css-parser.js:384);
+  we advance one char instead so pathological pages terminate.  This is
+  unreachable for any input on which the reference itself terminates.
+"""
+
+from __future__ import annotations
+
+from .jsre import AT_RULE_NAME_CHAR, WS_ONE, js_trim
+from .tree import (
+    COMMENT, CSS_AT_RULE, CSS_ROOT, CSS_RULE, FLAG_CSS_TOP, FlatTree,
+)
+
+_STATEMENT_AT_RULES = ("import", "charset", "namespace")
+
+
+def parse_css(css: str) -> FlatTree:
+    """Standalone CSS parse → FlatTree rooted at a ``css-root`` node
+    (reference ``new CSSParser().parse(css)``, css-parser.js:49)."""
+    tree = FlatTree(CSS_ROOT)
+    parse_css_into(tree, 0, css, top_flag=False)
+    return tree
+
+
+def parse_css_into(
+    tree: FlatTree, parent: int, css: str, top_flag: bool = True
+) -> None:
+    """Parse ``css`` appending nodes under ``parent``.
+
+    ``top_flag`` marks top-level CSS nodes with FLAG_CSS_TOP — the
+    grafted-under-<style> case, where the reference leaves the nodes'
+    parent pointing at a dangling css-root (simple-html-parser.js:144),
+    which cssFindVariables' ":root scope" logic observes (node.js:637).
+    """
+    pos = 0
+    n = len(css)
+    top_level_flag = FLAG_CSS_TOP if top_flag else 0
+    # Stack of open block containers; index 0 is the graft parent.
+    stack = [parent]
+
+    def skip_ws(p: int) -> int:
+        while p < n and WS_ONE.match(css, p):
+            p += 1
+        return p
+
+    def add_top(ntype: str, **kw) -> int:
+        """Append under the current container, flagging top-level nodes."""
+        container = stack[-1]
+        nid = tree.add_node(ntype, container, **kw)
+        if len(stack) == 1:
+            tree.flags[nid] |= top_level_flag
+        return nid
+
+    while pos < n:
+        pos = skip_ws(pos)
+        if pos >= n:
+            break
+        ch = css[pos]
+        inside_block = len(stack) > 1
+
+        # End of a block (reference #parseBlock, css-parser.js:225-228).
+        if inside_block and ch == "}":
+            pos += 1
+            stack.pop()
+            continue
+
+        # Comment (css-parser.js:269-292).
+        if ch == "/" and pos + 1 < n and css[pos + 1] == "*":
+            start = pos + 2
+            end = css.find("*/", start)
+            if end == -1:
+                content = css[start:]
+                pos = n
+            else:
+                content = css[start:end]
+                pos = end + 2
+            add_top(COMMENT, content=content, comment_type="css")
+            continue
+
+        # At-rule (css-parser.js:143-207).
+        if ch == "@":
+            pos += 1
+            name_start = pos
+            while pos < n and AT_RULE_NAME_CHAR.match(css, pos):
+                pos += 1
+            name = css[name_start:pos]
+            pos = skip_ws(pos)
+            at_node = add_top(CSS_AT_RULE, name=name)
+            tree.css_name[at_node] = name
+
+            if name in _STATEMENT_AT_RULES:
+                # Statement form: read params to ';' (css-parser.js:163-174).
+                start = pos
+                while pos < n and css[pos] != ";":
+                    pos += 1
+                tree.css_params[at_node] = js_trim(css[start:pos])
+                if pos < n and css[pos] == ";":
+                    pos += 1
+                continue
+
+            # Block form: params until '{' at paren depth 0.
+            params_start = pos
+            depth = 0
+            while pos < n:
+                c = css[pos]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "{" and depth == 0:
+                    break
+                pos += 1
+            tree.css_params[at_node] = js_trim(css[params_start:pos])
+            pos = skip_ws(pos)
+            if pos < n and css[pos] == "{":
+                pos += 1
+                stack.append(at_node)
+            continue
+
+        if inside_block and not _is_nested_rule(css, pos, n):
+            # Declaration (css-parser.js:298-355).
+            pos = _parse_declaration(tree, stack[-1], css, pos, n)
+            continue
+
+        # Rule: selector until '{' at paren depth 0 (css-parser.js:362-396).
+        selector_start = pos
+        depth = 0
+        while pos < n:
+            c = css[pos]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "{" and depth == 0:
+                break
+            pos += 1
+        selector = js_trim(css[selector_start:pos])
+        if not selector or pos >= n or css[pos] != "{":
+            # Reference returns null here; an empty selector before '{'
+            # would loop forever there — advance to terminate (see module
+            # docstring).
+            if pos < n and css[pos] == "{":
+                pos += 1
+            continue
+        rule = add_top(CSS_RULE, name=selector)
+        tree.css_selector[rule] = selector
+        tree.css_decls[rule] = {}
+        pos += 1  # skip '{'
+        stack.append(rule)
+
+
+def _is_nested_rule(css: str, pos: int, n: int) -> bool:
+    """Lookahead: '{' before ':' (excluding '::') at paren depth 0 →
+    nested rule (css-parser.js:103-136)."""
+    depth = 0
+    found_colon = False
+    found_brace = False
+    while pos < n:
+        c = css[pos]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ":" and (pos + 1 >= n or css[pos + 1] != ":"):
+                found_colon = True
+                break
+            if c == "{":
+                found_brace = True
+                break
+            if c in ";}":
+                break
+        pos += 1
+    return found_brace and not found_colon
+
+
+def _parse_declaration(
+    tree: FlatTree, container: int, css: str, pos: int, n: int
+) -> int:
+    prop_start = pos
+    while pos < n and css[pos] != ":" and css[pos] != "}":
+        pos += 1
+    prop = js_trim(css[prop_start:pos])
+
+    if pos >= n or css[pos] != ":":
+        # Invalid declaration: skip to ';' or '}' (css-parser.js:307-316).
+        while pos < n and css[pos] != ";" and css[pos] != "}":
+            pos += 1
+        if pos < n and css[pos] == ";":
+            pos += 1
+        return pos
+
+    pos += 1  # skip ':'
+    while pos < n and WS_ONE.match(css, pos):
+        pos += 1
+
+    value_start = pos
+    depth = 0
+    while pos < n:
+        c = css[pos]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c == ";" or c == "}"):
+            break
+        pos += 1
+    value = js_trim(css[value_start:pos])
+
+    if tree.css_decls[container] is None:
+        tree.css_decls[container] = {}
+    if prop and value:
+        tree.css_decls[container][prop] = value
+
+    if pos < n and css[pos] == ";":
+        pos += 1
+    return pos

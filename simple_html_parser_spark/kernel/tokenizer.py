@@ -1,0 +1,284 @@
+"""Single-pass HTML tokenizer + tree builder.
+
+Semantics-identical reimplementation of the reference parse loop
+(/root/reference/src/simple-html-parser.js:54-359) producing a
+:class:`FlatTree` instead of a pointer-linked node graph.  Append order
+is document order, so node ids are pre-order positions.
+
+Pinned quirks replicated deliberately (verified against the reference
+under Node, see tests/test_differential.py):
+
+- comments close at the FIRST ``-->`` — ``indexOf`` may land *inside*
+  the opener, and JS ``substring`` swaps its arguments, so ``<!-->``
+  yields a comment with content ``--`` (js:63,69);
+- ``<br/>`` parses as tag name ``br/`` (split on JS ``\\s+``), which is
+  NOT void, so the parser descends into it (js:106-107,296);
+- attribute values use ``||`` so an EMPTY quoted value also becomes the
+  ``__EMPVAL__`` sentinel (js:119);
+- ``</style>`` for a style block is searched from the tag START (js:130)
+  but special-tag closers from the tag END (js:164);
+- close tags match by walking the OPEN ancestor chain; unmatched closers
+  are appended in place (js:317-337);
+- a trailing ``<`` (or any tag with no ``>``) is silently dropped one
+  char at a time (js:100-103);
+- no entity decoding anywhere.
+"""
+
+from __future__ import annotations
+
+from .cssparser import parse_css_into
+from .jsre import (
+    ATTR_PATTERN, JS_REGEX_CONTEXT, VALID_TAG_CHAR, js_split_ws,
+    js_substring,
+)
+from .tree import (
+    COMMENT, FLAG_SCRIPT_BLOCK, FLAG_STYLE_BLOCK, ROOT, TAG_CLOSE,
+    TAG_OPEN, TEXT, FlatTree,
+)
+
+# simple-html-parser.js:15 — membership is case-SENSITIVE during parse
+# (an uppercase <IMG> is not void and the parser descends into it).
+VOID_ELEMS = frozenset((
+    "img", "br", "hr", "input", "meta", "link", "area", "base", "col",
+    "embed", "param", "source", "track", "wbr",
+))
+
+DEFAULT_SPECIAL_TAGS = ("jhp", "s_")
+
+
+def parse_html(
+    html: str, special_tags: tuple[str, ...] = DEFAULT_SPECIAL_TAGS
+) -> FlatTree:
+    """Parse an HTML string into a FlatTree (root is node 0)."""
+    t = FlatTree(ROOT)
+    current = 0
+    pos = 0
+    n = len(html)
+    ttype = t.type
+    tname = t.name
+    tparent = t.parent
+
+    while pos < n:
+        ch = html[pos]
+
+        if ch == "<":
+            # --- comment (js:62-77) -----------------------------------
+            if html[pos:pos + 4] == "<!--":
+                comment_end = html.find("-->", pos)
+                if comment_end == -1:
+                    pos += 1
+                    continue
+                t.add_node(
+                    COMMENT, current,
+                    content=js_substring(html, pos + 4, comment_end),
+                    comment_type="html-comment",
+                )
+                pos = comment_end + 3
+                continue
+
+            nxt = html[pos + 1] if pos + 1 < n else None
+
+            # --- non-tag '<' rescue (js:80-95) -------------------------
+            # (JS html[pos+1] at EOF is undefined; the validTagName test
+            # then runs on the string "undefined" and PASSES, so the
+            # rescue never fires at EOF — the open-tag path does.)
+            if nxt is not None and (
+                nxt == "<" or nxt == " "
+                or (nxt != "/" and nxt != "!"
+                    and not VALID_TAG_CHAR.match(nxt))
+            ):
+                next_tag = html.find("<", pos + 1)
+                text_end = n if next_tag == -1 else next_tag
+                t.add_node(TEXT, current, content=html[pos:text_end],
+                           src_start=pos, src_end=text_end)
+                pos = text_end
+                continue
+
+            if nxt != "/":
+                # --- opening tag (js:98-301) ---------------------------
+                tag_end = html.find(">", pos)
+                if tag_end == -1:
+                    pos += 1
+                    continue
+                tag_content = js_substring(html, pos + 1, tag_end)
+                tag_name = js_split_ws(tag_content)[0]
+
+                attrs: dict = {}
+                attr_len = 0
+                for m in ATTR_PATTERN.finditer(tag_content[len(tag_name):]):
+                    attr_len += 1
+                    attrs[m.group(1)] = (
+                        m.group(2) or m.group(3) or m.group(4)
+                        or "__EMPVAL__"
+                    )
+
+                node = t.add_node(TAG_OPEN, current, name=tag_name,
+                                  attrs=attrs)
+
+                if tag_name == "style":
+                    close_pos = html.find("</style>", pos)
+                    if close_pos != -1:
+                        t.flags[node] |= FLAG_STYLE_BLOCK
+                        parse_css_into(
+                            t, node,
+                            js_substring(html, tag_end + 1, close_pos),
+                        )
+                        pos = close_pos + 8  # len('</style>')
+                        close_node = t.add_node(TAG_CLOSE, current,
+                                                name=tag_name, attrs={})
+                        t.flags[close_node] |= FLAG_STYLE_BLOCK
+                        continue
+
+                if tag_name in special_tags and attr_len == 0:
+                    # scriptBlock flag is set BEFORE the closer lookup,
+                    # so an unterminated special tag keeps it (js:162).
+                    t.flags[node] |= FLAG_SCRIPT_BLOCK
+                    close_tag = f"</{tag_name}>"
+                    close_pos = html.find(close_tag, tag_end)
+                    if close_pos != -1:
+                        _parse_js_content(
+                            t, node,
+                            js_substring(html, tag_end + 1, close_pos),
+                            base=tag_end + 1,
+                        )
+                        close_node = t.add_node(TAG_CLOSE, current,
+                                                name=tag_name, attrs={})
+                        t.flags[close_node] |= FLAG_SCRIPT_BLOCK
+                        pos = close_pos + len(close_tag)
+                        continue
+
+                if tag_name not in VOID_ELEMS:
+                    current = node
+                pos = tag_end + 1
+                continue
+
+            # --- closing tag (js:304-342) ------------------------------
+            tag_end = html.find(">", pos)
+            if tag_end == -1:
+                pos += 1
+                continue
+            tag_name = js_substring(html, pos + 2, tag_end)
+
+            p = current
+            found = False
+            while p != -1 and ttype[p] != ROOT:
+                if ttype[p] == TAG_OPEN and tname[p] == tag_name:
+                    # close node becomes a SIBLING of the matched open
+                    # tag; currentNode pops to the open tag's parent.
+                    t.add_node(TAG_CLOSE, tparent[p], name=tag_name,
+                               attrs={})
+                    current = tparent[p]
+                    found = True
+                    break
+                p = tparent[p]
+            if not found:
+                t.add_node(TAG_CLOSE, current, name=tag_name, attrs={})
+            pos = tag_end + 1
+            continue
+
+        # --- plain text (js:345-355) -----------------------------------
+        next_tag = html.find("<", pos)
+        text_end = n if next_tag == -1 else next_tag
+        if text_end > pos:
+            t.add_node(TEXT, current, content=html[pos:text_end],
+                       src_start=pos, src_end=text_end)
+        pos = text_end
+
+    return t
+
+
+def _parse_js_content(
+    t: FlatTree, node: int, sc: str, base: int
+) -> None:
+    """Special-tag content submachine: split into text nodes and
+    js-single-line / js-multi-line comment nodes with string-literal and
+    regex-literal awareness (js:172-280).  ``base`` is the source offset
+    of ``sc`` for span bookkeeping."""
+    n = len(sc)
+    in_string = False
+    string_char = ""
+    in_regex = False
+    in_comment = False
+    comment_type = ""
+    comment_start = -1
+    text_start = 0
+    i = 0
+
+    def emit_text(start: int, end: int) -> None:
+        t.add_node(TEXT, node, content=sc[start:end],
+                   src_start=base + start, src_end=base + end)
+
+    def emit_comment(start: int, end: int) -> None:
+        t.add_node(COMMENT, node, content=sc[start:end],
+                   comment_type=comment_type)
+
+    while i < n:
+        char = sc[i]
+        next_char = sc[i + 1] if i < n - 1 else ""
+        prev_char = sc[i - 1] if i > 0 else ""
+
+        # escape sequences: skip char after backslash (js:188-190)
+        if prev_char == "\\":
+            i += 1
+            continue
+
+        if (not in_comment and not in_regex
+                and (char == '"' or char == "'" or char == "`")):
+            if not in_string:
+                in_string = True
+                string_char = char
+            elif char == string_char:
+                in_string = False
+            i += 1
+            continue
+
+        # regex-literal start: '/' preceded by an operator context
+        # (js:204-208); note this runs before comment detection, so
+        # "//"-after-'=' is treated as an empty regex — quirk preserved.
+        if (not in_comment and not in_string and char == "/"
+                and prev_char != "*"
+                and (i == 0 or sc[i - 1] in JS_REGEX_CONTEXT)):
+            in_regex = True
+            i += 1
+            continue
+
+        if in_regex and char == "/" and prev_char != "\\":
+            in_regex = False
+            i += 1
+            continue
+
+        if not in_string and not in_regex and not in_comment:
+            if char == "/" and next_char == "/":
+                if text_start < i:
+                    emit_text(text_start, i)
+                in_comment = True
+                comment_type = "js-single-line"
+                comment_start = i + 2
+                i += 2
+                continue
+            if char == "/" and next_char == "*":
+                if text_start < i:
+                    emit_text(text_start, i)
+                in_comment = True
+                comment_type = "js-multi-line"
+                comment_start = i + 2
+                i += 2
+                continue
+        elif in_comment:
+            if comment_type == "js-single-line" and char == "\n":
+                emit_comment(comment_start, i)
+                in_comment = False
+                text_start = i + 1
+            elif (comment_type == "js-multi-line" and char == "*"
+                  and next_char == "/"):
+                emit_comment(comment_start, i)
+                in_comment = False
+                text_start = i + 2
+                i += 2
+                continue
+        i += 1
+
+    if in_comment:
+        emit_comment(comment_start, n)
+    elif text_start < n:
+        emit_text(text_start, n)

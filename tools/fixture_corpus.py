@@ -1,0 +1,262 @@
+"""Fixture corpus — the golden-checked HTML/CSS cases.
+
+Inputs lifted from the reference test suites (/root/reference/test/*,
+see FIXTURES.md §5) plus edge-case probes for the pinned quirks in
+SURVEY.md §2.2.  Each case: {id, html, special_tags?, ops}.  Goldens
+are generated ONCE by tools/make_goldens.py running the reference
+parser under Node and committed to fixtures/goldens.jsonl; pytest
+compares the Python kernel byte-for-byte (no Node needed at test time).
+"""
+
+COMPLEX_PAGE = """<div class="wrapper">
+    <header id="header">
+        <nav class="navigation">
+            <ul>
+                <li><a href="/home">Home</a></li>
+                <li><a href="/about">About</a></li>
+            </ul>
+        </nav>
+    </header>
+    <main>
+        <article class="post">
+            <h1>Title</h1>
+            <p class="content">Content here</p>
+        </article>
+    </main>
+</div>"""
+
+STYLE_PAGE = """<html><head><title>Doc Title</title>
+<style>
+:root { --primary-color: #007bff; --spacing: 1rem; }
+.card { background: white; padding: 1rem; }
+.card.active { border: 1px solid; }
+.card { margin: 0; .title { font-size: 1.5rem; } }
+@media (max-width: 768px) { .card { padding: 0.5rem; } }
+@import url('styles.css');
+/* top comment */
+p { color: #333; }
+P { font-weight: bold; }
+</style>
+</head><body>
+<nav><a href="/x">boilerplate link</a></nav>
+<p class="content">Main text &amp; entities stay raw.</p>
+<script>var x = 1 < 2; if (x) { go(); }</script>
+<footer>footer junk</footer>
+</body></html>"""
+
+CSS_ATRULES = """<style>
+@keyframes fadeIn {
+    0% { opacity: 0; }
+    100% { opacity: 1; }
+}
+@media screen {
+    @supports (display: grid) {
+        @layer base {
+            .grid { display: grid; }
+        }
+    }
+}
+@container sidebar (min-width: 400px) {
+    .card { font-size: 2em; }
+}
+@scope (.light-scheme) {
+    a { color: darkmagenta; }
+}
+@charset "utf-8";
+@layer named { }
+@layer base;
+.rgb { color: rgb(255, 255, 255); transform: translateX(10px) rotate(45deg); }
+li:not(.disabled) { cursor: pointer; }
+</style>"""
+
+_Q_OPS = [
+    {"op": "qsa", "sel": "p"},
+    {"op": "qsa", "sel": "div"},
+    {"op": "qsa", "sel": "a"},
+    {"op": "qsa", "sel": "#header"},
+    {"op": "qsa", "sel": ".content"},
+    {"op": "qsa", "sel": ".card.primary"},
+    {"op": "qsa", "sel": "[href]"},
+    {"op": "qsa", "sel": '[href="/about"]'},
+    {"op": "qsa", "sel": "[href='/about']"},
+    {"op": "qsa", "sel": ".wrapper .content"},
+    {"op": "qsa", "sel": "div div"},
+    {"op": "qsa", "sel": "div p"},
+    {"op": "qsa", "sel": "ul li a"},
+    {"op": "qsa", "sel": "p#main.content"},
+    {"op": "qsa", "sel": "p:not(.special)"},
+    {"op": "qsa", "sel": ":not(.special)"},
+    {"op": "qsa", "sel": "p, a"},
+    {"op": "qsa", "sel": "a, p, a"},
+    {"op": "qsa", "sel": "li a, .content"},
+    {"op": "qs", "sel": "p"},
+    {"op": "qs", "sel": "nosuch"},
+    {"op": "find_by_attr", "name": "href"},
+    {"op": "find_by_attr", "name": "class"},
+    {"op": "find_by_tag", "name": "li"},
+    {"op": "find_by_type", "name": "text"},
+    {"op": "find_by_type", "name": "comment"},
+    {"op": "find_by_type", "name": "script-block"},
+    {"op": "nodes_by_type", "name": "text"},
+    {"op": "nodes_by_type", "name": "tag-open"},
+    {"op": "comments"},
+]
+
+_CSS_OPS = [
+    {"op": "css_to_string"},
+    {"op": "css_to_string", "options": {"combineDeclarations": False}},
+    {"op": "css_to_string", "options": {"includeComments": True}},
+    {"op": "css_to_string", "options": {"singleLine": True}},
+    {"op": "css_to_string", "options": {"flattenNested": True}},
+    {"op": "css_to_string",
+     "options": {"includeBraces": False, "includeSelector": False}},
+    {"op": "css_to_string", "options": {"includeNestedRules": False}},
+    {"op": "css_to_string", "options": {"indent": 4}},
+    {"op": "css_find_rules", "sel": ".card"},
+    {"op": "css_find_rules", "sel": ".card",
+     "options": {"includeCompound": False}},
+    {"op": "css_find_rules", "sel": "p"},
+    {"op": "css_find_rules", "sel": "P"},
+    {"op": "css_find_rules", "sel": "card"},
+    {"op": "css_find_rules", "sel": ".card", "options": {"shallow": True}},
+    {"op": "css_find_at_rules"},
+    {"op": "css_find_at_rules", "name": "media"},
+    {"op": "css_find_variable", "name": "--primary-color"},
+    {"op": "css_find_variable", "name": "spacing"},
+    {"op": "css_find_variable", "name": "nope"},
+    {"op": "css_find_variables"},
+    {"op": "css_find_variables", "includeRoot": True},
+]
+
+CASES = [
+    {"id": "basic-div", "html": "<div>Hello World</div>",
+     "ops": [{"op": "qsa", "sel": "div"}, {"op": "inner_html", "ctx": 1}]},
+    {"id": "nested", "html": "<div><p>Text</p></div>", "ops": _Q_OPS[:5]},
+    {"id": "attrs",
+     "html": '<div id="app" class="container" data-value="123"></div>',
+     "ops": [{"op": "qsa", "sel": "#app"}, {"op": "qsa", "sel": ".container"},
+             {"op": "qsa", "sel": '[data-value="123"]'},
+             {"op": "get_attribute", "ctx": 1, "name": "data-value"},
+             {"op": "get_tag", "ctx": 1}]},
+    {"id": "text-preserve", "html": "<p>Hello World</p>", "ops": []},
+    {"id": "voids",
+     "html": '<div><img src="test.jpg"><br><input type="text"></div>',
+     "ops": [{"op": "qsa", "sel": "img"}, {"op": "find_by_attr",
+                                           "name": "src"}]},
+    {"id": "comment", "html": "<div><!-- This is a comment --></div>",
+     "ops": [{"op": "comments"}, {"op": "find_by_type", "name": "comment"}]},
+    {"id": "ws-roundtrip", "html": "<div>\n    <p>Text</p>\n</div>",
+     "ops": []},
+    {"id": "indent-roundtrip",
+     "html": "<table>\n    <tr>\n        <td>Cell</td>\n    </tr>\n</table>",
+     "ops": []},
+    {"id": "complex-page", "html": COMPLEX_PAGE, "ops": _Q_OPS},
+    {"id": "malformed-unclosed-p", "html": "<div><p>Unclosed paragraph</div>",
+     "ops": [{"op": "qsa", "sel": "p"}, {"op": "qsa", "sel": "div"}]},
+    {"id": "style-css",
+     "html": "<style>\n.card {\n    background: white;\n"
+             "    padding: 1rem;\n}\n</style>",
+     "ops": [{"op": "css_to_string"}, {"op": "css_find_rules",
+                                       "sel": ".card"},
+             {"op": "nodes_by_type", "name": "text"}]},
+    {"id": "comment-toggle", "html": "<!-- Comment --><div>Content</div>",
+     "ops": []},
+    {"id": "q-multiclass",
+     "html": '<div class="card primary active">x</div>'
+             '<div class="card">y</div>',
+     "ops": [{"op": "qsa", "sel": ".card.primary"},
+             {"op": "qsa", "sel": ".card"},
+             {"op": "qsa", "sel": "div.card.primary.active"}]},
+    {"id": "q-scoped",
+     "html": '<div id="a"><span class="text">A</span></div>'
+             '<div id="b"><span class="text">B</span></div>',
+     "ops": [{"op": "qsa", "ctx": 1, "sel": ".text"},
+             {"op": "qs", "ctx": 1, "sel": ".text"}]},
+    {"id": "raw-entities",
+     "html": '<div data-value="hello&world" title="It\'s fine">'
+             "a &amp; b &#39;c&#39;</div>",
+     "ops": [{"op": "get_attribute", "ctx": 1, "name": "data-value"},
+             {"op": "qsa", "sel": '[data-value="hello&world"]'}]},
+    {"id": "style-page", "html": STYLE_PAGE, "ops": _Q_OPS + _CSS_OPS},
+    {"id": "css-atrules", "html": CSS_ATRULES, "ops": _CSS_OPS + [
+        {"op": "css_find_at_rules", "name": "keyframes"},
+        {"op": "css_find_at_rules", "name": "layer"},
+        {"op": "css_find_at_rules", "name": "charset"},
+        {"op": "css_find_rules", "sel": "a"},
+        {"op": "css_find_rules", "sel": ".grid"},
+        {"op": "css_find_rules", "sel": "li:not(.disabled)",
+         "options": {"includeCompound": False}},
+    ]},
+    {"id": "css-nested",
+     "html": "<style>.card { background: white; .title "
+             "{ font-size: 1.5rem; } }</style>",
+     "ops": _CSS_OPS},
+    {"id": "self-closing-slash", "html": '<br/><img src=x /><p>t</p>',
+     "ops": [{"op": "qsa", "sel": "br"}, {"op": "qsa", "sel": "img"},
+             {"op": "qsa", "sel": "p"}]},
+    {"id": "empty-attr", "html": '<div class="" id="a">x</div>',
+     "ops": [{"op": "get_attribute", "ctx": 1, "name": "class"},
+             {"op": "qsa", "sel": "[class]"}]},
+    {"id": "default-script", "html": "<script>if (a<b) {x()}</script>",
+     "ops": [{"op": "qsa", "sel": "script"},
+             {"op": "nodes_by_type", "name": "text"}]},
+    {"id": "special-tag-js",
+     "html": "<jhp>code() // comment\nmore(); /* multi\nline */ tail</jhp>",
+     "ops": [{"op": "comments"}, {"op": "find_by_type",
+                                  "name": "script-block"},
+             {"op": "nodes_by_type", "name": "text"}]},
+    {"id": "special-tag-strings",
+     "html": "<jhp>var s = \"a//b\"; var r = /x\\/y/; t`//tpl`; "
+             "// real\n</jhp>",
+     "ops": [{"op": "comments"}]},
+    {"id": "special-tag-unclosed-comment",
+     "html": "<jhp>x(); /* never closed</jhp>",
+     "ops": [{"op": "comments"}]},
+    {"id": "special-tag-with-attrs",
+     "html": '<jhp type="x">// not special</jhp>',
+     "ops": [{"op": "comments"}, {"op": "qsa", "sel": "jhp"}]},
+    {"id": "special-custom", "html": "<mytag>a // c\n</mytag>",
+     "special_tags": ["mytag"], "ops": [{"op": "comments"}]},
+    {"id": "unmatched-close", "html": "<div>a</span>b</div>", "ops": []},
+    {"id": "nonterminated-comment", "html": "<!-- never closed", "ops": []},
+    {"id": "nested-comment",
+     "html": "<!-- outer <!-- inner --> tail -->", "ops": []},
+    {"id": "case-sensitive", "html": "<DIV>x</DIV><div>y</div>",
+     "ops": [{"op": "qsa", "sel": "div"}, {"op": "qsa", "sel": "DIV"}]},
+    {"id": "uc-whitespace",
+     # \u2028 / \ufeff are JS-whitespace but not Python \s (and
+     # \x1c etc. the reverse): tag splitting and \S+ attr values must
+     # use the exact JS charset.
+     "html": ("<div\u2028id=x>a</div> <p\ufeffclass=y>b</p>"
+              "<a href=u\u3000v t=\u00a0>c</a>"),
+     "ops": [{"op": "qsa", "sel": "div"}, {"op": "qsa", "sel": "p"},
+             {"op": "get_attribute", "ctx": 1, "name": "id"}]},
+    {"id": "doctype", "html": "<!DOCTYPE html><html><body>hi</body></html>",
+     "ops": [{"op": "qsa", "sel": "html"}]},
+    {"id": "deep-nesting",
+     "html": "".join(f'<d{i}>' for i in range(30)) + "core"
+             + "".join(f'</d{i}>' for i in reversed(range(30))),
+     "ops": [{"op": "qsa", "sel": "d29"}, {"op": "nodes_by_type",
+                                           "name": "text"}]},
+    {"id": "style-in-attr-quirk",
+     "html": '<style a="</style>">x{y:z}</style>', "ops": []},
+    {"id": "weird-comment-eats-opener", "html": "<!-->after", "ops": []},
+    {"id": "close-with-space", "html": "<div>x</div >y", "ops": []},
+    {"id": "unquoted-attrs", "html": "<a href=/home target=_blank>x</a>",
+     "ops": [{"op": "qsa", "sel": "[href=/home]"},
+             {"op": "get_attribute", "ctx": 1, "name": "href"}]},
+    {"id": "dup-attrs", "html": '<p a="1" a="2" b>x</p>',
+     "ops": [{"op": "get_attribute", "ctx": 1, "name": "a"},
+             {"op": "get_attribute", "ctx": 1, "name": "b"}]},
+    {"id": "multi-style",
+     "html": "<style>.link { color: blue; }</style><div>mid</div>"
+             "<style>.link { color: red; } p { margin: 0; }</style>",
+     "ops": [{"op": "css_to_string"},
+             {"op": "css_to_string", "options": {"combineDeclarations":
+                                                 False}},
+             {"op": "css_find_rules", "sel": ".link"}]},
+    {"id": "style-unterminated", "html": "<style>.a{color:red}", "ops": []},
+    {"id": "style-with-attrs",
+     "html": '<style media="screen">.x { a: b; }</style>',
+     "ops": [{"op": "css_to_string"}]},
+]

@@ -1,0 +1,123 @@
+"""Seeded differential fuzzer: random HTML-ish documents through the
+Python kernel AND the reference parser (Node), asserting identical tree
+dumps and toHtml output.  Usage:
+
+    python3 tools/fuzz_differential.py [n_cases] [seed]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from simple_html_parser_spark.kernel.compat import run_case  # noqa: E402
+
+TAGS = ["div", "p", "span", "a", "br", "img", "style", "script", "jhp",
+        "ul", "li", "DIV", "b", "x-y", "s_"]
+ATTR_NAMES = ["id", "class", "href", "data-x", "DATA", "a_b", "x-1"]
+ATTR_VALS = ['"v1"', "'v2'", '""', "plain", '"a b"', '"</style>"',
+             '"x=y"', "", '"&amp;"', "'<i>'"]
+TEXTS = ["hello", " ", "a & b", "x<y", "1 << 2", "tail -->", "<3",
+         "< div", "\n  ", "&#39;", "𝔘ni", "﻿bom", "a b"]
+CSS_BITS = [
+    ".a { color: red; }", "p{margin:0}", "@media (x) { .b { c: d } }",
+    "/* c */", ":root{--v:1px}", ".q{a:rgb(1,2,3);b:url(x.png)}",
+    "@import url('u.css');", "a,b c{x:y}", ".n{ .m{q:r} s:t }",
+    "@layer l;", "broken{", "}stray", "p:not(.x){y:z}", "", "  ",
+]
+JS_BITS = [
+    "var x = 1;", "// line\n", "/* block */", 'var s = "a//b";',
+    "var r = /x\\/g/;", "if(a<b){}", "`t//pl`", "x(); // tail",
+    "/* open", "\\// odd", "a=/re/; //c\n",
+]
+
+
+def gen_doc(rng: random.Random) -> str:
+    parts = []
+    depth = 0
+    for _ in range(rng.randint(1, 40)):
+        r = rng.random()
+        if r < 0.25:
+            parts.append(rng.choice(TEXTS))
+        elif r < 0.45:
+            tag = rng.choice(TAGS)
+            n_attrs = rng.randint(0, 3)
+            attrs = "".join(
+                f" {rng.choice(ATTR_NAMES)}"
+                + (f"={rng.choice(ATTR_VALS)}" if rng.random() < 0.8 else "")
+                for _ in range(n_attrs)
+            )
+            sc = rng.choice(["", "", "", " /", "/"])
+            parts.append(f"<{tag}{attrs}{sc}>")
+            if tag == "style" and rng.random() < 0.7:
+                parts.append(rng.choice(CSS_BITS) + rng.choice(CSS_BITS))
+                parts.append("</style>")
+            elif tag in ("jhp", "s_") and rng.random() < 0.7:
+                parts.append(rng.choice(JS_BITS) + rng.choice(JS_BITS))
+                parts.append(f"</{tag}>")
+            else:
+                depth += 1
+        elif r < 0.6 and depth >= 0:
+            parts.append(f"</{rng.choice(TAGS)}>")
+            depth -= 1
+        elif r < 0.7:
+            parts.append(f"<!--{rng.choice(TEXTS)}-->")
+        elif r < 0.75:
+            parts.append("<!--")
+        elif r < 0.85:
+            parts.append(rng.choice(
+                ["<", "< ", "<<", "<!", "</", ">", "<!-->", "<!--->",
+                 "</ div>", "<div", "< p>"]))
+        else:
+            parts.append(rng.choice(CSS_BITS))
+    return "".join(parts)
+
+
+def run_fuzz(n: int, seed: int) -> int:
+    rng = random.Random(seed)
+    cases = [{"id": i, "html": gen_doc(rng)} for i in range(n)]
+    inp = "\n".join(json.dumps(c, ensure_ascii=False) for c in cases)
+    proc = subprocess.run(
+        ["node", str(ROOT / "tools" / "ref_dump.mjs")],
+        input=inp, capture_output=True, text=True, check=True,
+    )
+    # split on '\n' only: fuzz docs contain  / , which
+    # JSON.stringify leaves raw and str.splitlines would split on.
+    refs = {json.loads(l)["id"]: json.loads(l)
+            for l in proc.stdout.split("\n") if l.strip()}
+    failures = 0
+    for case in cases:
+        ref = refs[case["id"]]
+        if "error" in ref:
+            print(f"case {case['id']}: reference error {ref['error']!r} "
+                  f"on {case['html']!r}")
+            continue
+        mine = run_case(case)
+        for key in ("dump", "to_html", "to_html_comments"):
+            if mine[key] != ref[key]:
+                failures += 1
+                print(f"FAIL case {case['id']} ({key}): {case['html']!r}")
+                if key == "dump":
+                    for i, (a, b) in enumerate(zip(mine[key], ref[key])):
+                        if a != b:
+                            print(f"  node {i}\n   py : {a}\n   ref: {b}")
+                            break
+                    if len(mine[key]) != len(ref[key]):
+                        print(f"  len {len(mine[key])} vs {len(ref[key])}")
+                else:
+                    print(f"   py : {mine[key]!r}\n   ref: {ref[key]!r}")
+                break
+    print(f"{n - failures}/{n} matched (seed={seed})")
+    return failures
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    raise SystemExit(1 if run_fuzz(n, seed) else 0)
