@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2 + the
+training-data ops), each a (spark, sf_dir) → DataFrame callable.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+The parser operators are oracle-checkable because the documents table
+is rendered into HTML with a fixed template (sources/documents.py):
+extracted text, node counts, link/comment/CSS contents are closed-form
+functions of the input row, so DuckDB can verify the whole
+parse→extract pipeline byte-for-byte without parsing any HTML itself.
 """
 
 from __future__ import annotations
@@ -12,27 +17,429 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
+from simple_html_parser_spark.operators import dedup as D
+from simple_html_parser_spark.operators import multimodal as MM
+from simple_html_parser_spark.operators import relational as R
+from simple_html_parser_spark.operators import similarity as S
+from simple_html_parser_spark.operators import textstats as T
+from simple_html_parser_spark.operators.extraction import (
+    extract_documents, parse_nodes,
+)
+from simple_html_parser_spark.sources.documents import (
+    HTML_TEMPLATE, load_documents, load_table,
+)
+
+# ---------------------------------------------------------------------------
+# oracle-side helpers
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _render_sql() -> str:
+    """HTML_TEMPLATE as a DuckDB string expression (for byte-level
+    oracles over the rendered page)."""
+    subs = {
+        "%1$s": "CAST(doc_id AS VARCHAR)",
+        "%2$s": "text",
+        "%3$s": "lang",
+        "%4$s": "source",
+    }
+    out: list[str] = []
+    rest = HTML_TEMPLATE
+    while rest:
+        positions = [
+            (rest.index(k), k) for k in subs if k in rest
+        ]
+        if not positions:
+            out.append(_sql_quote(rest))
+            break
+        pos, key = min(positions)
+        if pos:
+            out.append(_sql_quote(rest[:pos]))
+        out.append(subs[key])
+        rest = rest[pos + len(key):]
+    return "(" + " || ".join(out) + ")"
+
+
+_URL_SQL = "('doc://' || source || '/' || CAST(doc_id AS VARCHAR))"
+
+# tokens / shingles as DuckDB expressions (mirror of dedup.tokens_col /
+# shingles_col — split on single space, drop empties, 3-gram shingles,
+# whole-text fallback for short docs)
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+# ---------------------------------------------------------------------------
+# spark-side helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir)
+
+
+def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").first())
+    return list(row.embedding)
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parity extraction over sf0.001 (driver smoke)."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return extract_documents(docs, salt_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction pipeline (parser hot path) ----
+    q["extract_parity"] = lambda spark, sf: (
+        extract_documents(_docs(spark, sf))
+        .select("url", "extracted_text"))
+    q["extract_main_content"] = lambda spark, sf: (
+        extract_documents(_docs(spark, sf), profile=MAIN_CONTENT)
+        .select("url", "extracted_text"))
+    q["extract_stats"] = lambda spark, sf: (
+        extract_documents(_docs(spark, sf))
+        .select("url", "n_nodes", "n_text_nodes", "n_bytes"))
+
+    # ---- exploded nodes view (tree semantics, SQL-checkable) ----
+    q["nodes_type_counts"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .groupBy("type").agg(F.count("*").alias("n")))
+    q["nodes_tag_counts"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .where(F.col("type") == "tag-open")
+        .groupBy("name").agg(F.count("*").alias("n")))
+    q["doc_links"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .where(F.col("attrs")["href"].isNotNull())
+        .select("url", F.col("attrs")["href"].alias("href")))
+    q["doc_comments"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .where(F.col("type") == "comment")
+        .select("url", "content", "comment_type"))
+    q["css_rule_selectors"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .where(F.col("type") == "css-rule")
+        .select("url", "css_selector",
+                F.col("css_declarations")["color"].alias("color")))
+    q["deep_text_nodes"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .where((F.col("type") == "text") & (F.col("depth") >= 3))
+        .groupBy("url").agg(
+            F.count("*").alias("n_deep_text"),
+            F.sum(F.length("content")).alias("deep_chars")))
+
+    # ---- dedup family ----
+    q["dedup_exact"] = lambda spark, sf: dedup_exact_q(spark, sf)
+    q["dedup_ngram_jaccard"] = lambda spark, sf: (
+        D.dedup_ngram_jaccard(_raw_docs(spark, sf), threshold=0.30))
+    q["dedup_minhash_lsh"] = lambda spark, sf: (
+        D.dedup_minhash_lsh(_raw_docs(spark, sf), threshold=0.30))
+    q["dedup_simhash"] = lambda spark, sf: (
+        D.dedup_simhash(_raw_docs(spark, sf), max_hamming=8))
+
+    # ---- similarity / ANN ----
+    q["sim_topk"] = lambda spark, sf: S.cosine_topk(
+        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10)
+    q["ann_ivf_topk"] = lambda spark, sf: S.ivf_topk(
+        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
+        nprobe=2)
+    q["embedding_dedup"] = lambda spark, sf: S.embedding_knn_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.8)
+
+    # ---- text analysis ----
+    q["token_stats"] = lambda spark, sf: T.token_count_cols(
+        _raw_docs(spark, sf))
+    q["quality_score"] = lambda spark, sf: T.quality_score(
+        _raw_docs(spark, sf))
+    q["doc_fingerprint"] = lambda spark, sf: T.doc_fingerprints(
+        _raw_docs(spark, sf))
+    q["lang_id"] = lambda spark, sf: T.lang_id(_raw_docs(spark, sf))
+    q["lang_distribution"] = lambda spark, sf: T.lang_distribution(
+        _raw_docs(spark, sf))
+
+    # ---- multimodal plumbing ----
+    q["binary_meta"] = lambda spark, sf: MM.binary_metadata(
+        _docs(spark, sf))
+    q["image_features_stub"] = lambda spark, sf: MM.extract_image_features(
+        _docs(spark, sf))
+
+    # ---- relational built-ins ----
+    q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
+        load_table(spark, sf, "lineitem"))
+    q["q3_top_orders"] = lambda spark, sf: R.top_orders(
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "lineitem"))
+    q["events_topk"] = lambda spark, sf: R.events_topk_per_user(
+        load_table(spark, sf, "events"))
+    q["part_shipped"] = lambda spark, sf: R.supplier_part_join(
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "lineitem"))
+    return q
+
+
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    return D.dedup_exact(_raw_docs(spark, sf))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    render = _render_sql()
+    o: dict[str, str] = {}
+
+    o["extract_parity"] = f"""
+        SELECT {_URL_SQL} AS url,
+               'Doc ' || CAST(doc_id AS VARCHAR) || text AS extracted_text
+        FROM documents"""
+
+    o["extract_main_content"] = f"""
+        SELECT {_URL_SQL} AS url,
+               CASE WHEN length(trim(text)) >= 20 THEN text
+                    ELSE '' END AS extracted_text
+        FROM documents"""
+
+    o["extract_stats"] = f"""
+        SELECT {_URL_SQL} AS url,
+               40 AS n_nodes, 2 AS n_text_nodes,
+               octet_length(encode({render})) AS n_bytes
+        FROM documents"""
+
+    o["nodes_type_counts"] = """
+        SELECT t.type, t.per_doc * (SELECT count(*) FROM documents) AS n
+        FROM (VALUES ('root', 1), ('tag-open', 14), ('tag-close', 14),
+                     ('text', 7), ('comment', 1), ('css-rule', 2),
+                     ('css-at-rule', 1)) AS t(type, per_doc)"""
+
+    o["nodes_tag_counts"] = """
+        SELECT t.name, t.per_doc * (SELECT count(*) FROM documents) AS n
+        FROM (VALUES ('html', 1), ('head', 1), ('title', 1), ('style', 1),
+                     ('body', 1), ('nav', 1), ('a', 3), ('main', 1),
+                     ('h1', 1), ('p', 1), ('aside', 1), ('footer', 1)
+             ) AS t(name, per_doc)"""
+
+    o["doc_links"] = f"""
+        SELECT {_URL_SQL} AS url, href
+        FROM documents, (VALUES (1), (2), (3)) AS v(i),
+        LATERAL (SELECT CASE v.i WHEN 1 THEN '/src/' || source
+                                 WHEN 2 THEN '/lang/' || lang
+                                 ELSE '/r' END AS href) l"""
+
+    o["doc_comments"] = f"""
+        SELECT {_URL_SQL} AS url,
+               ' id:' || CAST(doc_id AS VARCHAR) || ' ' AS content,
+               'html-comment' AS comment_type
+        FROM documents"""
+
+    o["css_rule_selectors"] = f"""
+        SELECT {_URL_SQL} AS url, '.main' AS css_selector,
+               CASE v.i WHEN 1 THEN '#222' ELSE 'black' END AS color
+        FROM documents, (VALUES (1), (2)) AS v(i)"""
+
+    # All 7 text nodes sit at depth >= 4 in the fixed template
+    # (root0 > html1 > head/body2 > title/nav/main/aside/footer3 >
+    # text or a4 > text5); deep_chars is the exact character sum.
+    o["deep_text_nodes"] = f"""
+        SELECT {_URL_SQL} AS url,
+               7 AS n_deep_text,
+               2 * length('Doc ' || CAST(doc_id AS VARCHAR))
+                 + length(source) + length(lang) + length(text)
+                 + length('related') + length('corpus footer')
+                 AS deep_chars
+        FROM documents"""
+
+    o["dedup_exact"] = """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text"""
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30"""
+
+    o["sim_topk"] = """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings e, q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+    o["ann_ivf_topk"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        cent AS (
+            SELECT label, list(m ORDER BY i) AS centroid
+            FROM (SELECT label, i,
+                         avg(CAST(embedding[i] AS DOUBLE)) AS m
+                  FROM embeddings, range(1, 65) t(i)
+                  GROUP BY label, i)
+            GROUP BY label),
+        probed AS (
+            SELECT label FROM cent, q
+            ORDER BY round(list_cosine_similarity(centroid, qv), 9) DESC,
+                     label
+            LIMIT 2)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+        FROM embeddings e JOIN probed USING (label), q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+    o["embedding_dedup"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.8"""
+
+    o["token_stats"] = f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_obs,
+               round(list_sum(list_transform(toks, x -> length(x)))
+                     * 1.0 / greatest(len(toks), 1), 4) AS avg_token_len,
+               CAST(list_sum(list_transform(
+                   toks, x -> (length(x) + 3) // 4)) AS BIGINT)
+                   AS n_subword_est
+        FROM t"""
+
+    o["quality_score"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS BIGINT) AS na,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS BIGINT) AS np
+            FROM documents),
+        bp AS (
+            SELECT doc_id,
+                   least(n * 20, 10000) AS q_len_bp,
+                   na * 10000 // greatest(n, 1) AS q_alpha_bp,
+                   np * 10000 // greatest(n, 1) AS punct_bp
+            FROM b)
+        SELECT doc_id, q_len_bp, q_alpha_bp, punct_bp,
+               (q_len_bp + q_alpha_bp) // 2 - punct_bp AS quality_bp
+        FROM bp"""
+
+    o["doc_fingerprint"] = """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(ascii(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647
+               ) AS fingerprint
+        FROM documents"""
+
+    stop_sql = ", ".join(
+        f"({_sql_quote(lang)}, {('[' + ', '.join(_sql_quote(w) for w in words) + ']')})"
+        for lang, words in sorted(T.STOPWORDS.items()))
+    o["lang_id"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        scores AS (
+            SELECT doc_id, s.lang,
+                   CAST(len(list_intersect(toks, s.words)) AS BIGINT)
+                       AS hits
+            FROM t, (VALUES {stop_sql}) AS s(lang, words)),
+        ranked AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang DESC) AS rk
+            FROM scores)
+        SELECT doc_id, lang AS pred_lang, hits FROM ranked WHERE rk = 1"""
+
+    o["lang_distribution"] = """
+        SELECT lang, count(*) AS n_docs,
+               sum(length(text)) AS total_chars
+        FROM documents GROUP BY lang"""
+
+    o["binary_meta"] = f"""
+        SELECT {_URL_SQL} AS url,
+               octet_length(encode({render})) AS n_bytes,
+               hex(encode(substring({render}, 1, 4))) AS magic_hex,
+               sha256({render}) AS digest
+        FROM documents"""
+
+    o["q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+    o["q3_top_orders"] = """
+        WITH revenue AS (
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderkey AS orderkey, c.c_name AS customer, r.revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN revenue r ON o.o_orderkey = r.l_orderkey
+        ORDER BY r.revenue DESC, orderkey LIMIT 20"""
+
+    o["events_topk"] = """
+        SELECT user_id, event_id, event_type,
+               round(value, 6) AS value, rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY value DESC, event_id) AS rk
+              FROM events)
+        WHERE rk <= 3"""
+
+    o["part_shipped"] = """
+        SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+               round(sum(l.l_quantity), 4) AS total_qty,
+               count(*) AS n_lines
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey, p.p_name"""
+
+    # dedup_minhash_lsh / dedup_simhash / image_features_stub:
+    # intentionally no oracle (probabilistic bucketing / stubbed decode)
+    # → driver records rows-only checks.
+    return o

@@ -37,6 +37,18 @@ def dump_tree(tree: FlatTree) -> list[dict]:
 def run_op(tree: FlatTree, op: dict):
     ctx = op.get("ctx", 0)
     name = op["op"]
+    if name == "extract":
+        from .extract import ExtractionProfile, extract
+        if op.get("mode") == "density":
+            profile = ExtractionProfile(
+                mode="density",
+                min_block_chars=op.get("min_block_chars", 20),
+                max_link_density=op.get("max_link_density", 0.5),
+            )
+        else:
+            profile = ExtractionProfile(mode="parity")
+        r = extract(tree, profile)
+        return {"text": r.text, "n_text_nodes": r.n_text_nodes}
     if name == "qsa":
         return selector.query_selector_all(tree, ctx, op["sel"])
     if name == "qs":

@@ -1,0 +1,157 @@
+"""Main-content extraction over a parsed FlatTree.
+
+The reference repo has no extraction layer — this spec is FROZEN here
+(FIXTURES.md §6) and mirrored verbatim in tools/ref_dump.mjs, which
+runs it over the REFERENCE parser's tree; byte-identical output per url
+is therefore a cross-runtime equivalence test of the tree semantics
+(BASELINE.json north_rule: "matching the reference's extracted
+text/spans per document").
+
+Two profiles:
+
+- ``parity``: DFS document-order text collection, skipping
+  (a) styleBlock subtrees (CSS children, never text),
+  (b) scriptBlock subtrees (special-tag JS text),
+  (c) subtrees of blacklisted elements (case-insensitive tag match),
+  keeping every text node with at least one non-JS-whitespace char,
+  concatenated verbatim.  This is the golden-gated flagship output.
+
+- ``main_content``: parity candidates grouped into nearest block-level
+  ancestor; a block is kept when its total trimmed text length ≥
+  ``min_block_chars`` AND its link-text density ≤ ``max_link_density``
+  (boilerplate nav/footer lists are link-dense).  Deterministic,
+  golden-gated through the same JS mirror.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .jsre import js_trim
+from .tree import TAG_OPEN, TEXT, FlatTree
+
+# Frozen extraction blacklist (FIXTURES.md §6).
+BLACKLIST = frozenset((
+    "script", "style", "noscript", "template", "head", "nav",
+    "footer", "aside", "iframe", "svg",
+))
+
+# Block-level grouping tags for the density profile.
+BLOCK_TAGS = frozenset((
+    "div", "p", "article", "section", "main", "td", "th", "li",
+    "blockquote", "pre", "body", "h1", "h2", "h3", "h4", "h5", "h6",
+))
+
+
+@dataclass(frozen=True)
+class ExtractionProfile:
+    mode: str = "parity"  # 'parity' | 'density'
+    blacklist: frozenset = field(default=BLACKLIST)
+    block_tags: frozenset = field(default=BLOCK_TAGS)
+    min_block_chars: int = 20
+    max_link_density: float = 0.5
+
+
+PARITY = ExtractionProfile(mode="parity")
+MAIN_CONTENT = ExtractionProfile(mode="density")
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    spans: list[tuple[int, int]]
+    n_nodes: int
+    n_text_nodes: int
+
+
+def _candidates(tree: FlatTree, profile: ExtractionProfile):
+    """Document-order kept text nodes: (nid, nearest_element_ancestor).
+
+    Iterative DFS with subtree skipping; one pass, O(nodes)."""
+    out: list[tuple[int, int]] = []
+    children = tree.children
+    ttype = tree.type
+    tname = tree.name
+    blacklist = profile.blacklist
+    # stack of (nid, nearest_element_ancestor)
+    stack: list[tuple[int, int]] = [(0, -1)]
+    while stack:
+        nid, anc = stack.pop()
+        ty = ttype[nid]
+        if ty == TAG_OPEN:
+            if (tname[nid].lower() in blacklist
+                    or tree.flags[nid] & 3):  # style/script block
+                continue  # skip entire subtree
+            anc = nid
+        elif ty == TEXT:
+            if js_trim(tree.content[nid]) != "":
+                out.append((nid, anc))
+            continue
+        for c in reversed(children[nid]):
+            stack.append((c, anc))
+    return out
+
+
+def extract(
+    tree: FlatTree, profile: ExtractionProfile = PARITY
+) -> ExtractResult:
+    cands = _candidates(tree, profile)
+    n_text_nodes = len(cands)
+
+    if profile.mode == "parity" or not cands:
+        kept = cands
+    else:
+        kept = _density_filter(tree, cands, profile)
+
+    text = "".join(tree.content[nid] for nid, _ in kept)
+    spans = [
+        (tree.src_start[nid], tree.src_end[nid]) for nid, _ in kept
+        if tree.src_start[nid] >= 0
+    ]
+    return ExtractResult(
+        text=text, spans=spans,
+        n_nodes=len(tree.type), n_text_nodes=n_text_nodes,
+    )
+
+
+def _nearest(tree: FlatTree, nid: int, names: frozenset) -> int:
+    """Nearest ancestor tag-open whose lowercased name is in ``names``
+    (walks the structural parent chain); -1 if none."""
+    p = tree.parent[nid]
+    while p >= 0:
+        if tree.type[p] == TAG_OPEN and tree.name[p].lower() in names:
+            return p
+        p = tree.parent[p]
+    return -1
+
+
+_A = frozenset(("a",))
+
+
+def _density_filter(
+    tree: FlatTree, cands: list[tuple[int, int]],
+    profile: ExtractionProfile,
+) -> list[tuple[int, int]]:
+    # Group candidates by nearest block ancestor; aggregate text and
+    # link-text character counts per block.
+    block_of: list[int] = []
+    text_chars: dict[int, int] = {}
+    link_chars: dict[int, int] = {}
+    for nid, _anc in cands:
+        block = _nearest(tree, nid, profile.block_tags)
+        block_of.append(block)
+        n = len(js_trim(tree.content[nid]))
+        text_chars[block] = text_chars.get(block, 0) + n
+        link_anc = _nearest(tree, nid, _A)
+        # link text only counts if the <a> is inside the block
+        if link_anc != -1 and (block == -1 or link_anc > block):
+            link_chars[block] = link_chars.get(block, 0) + n
+    kept_blocks = {
+        b for b, tc in text_chars.items()
+        if tc >= profile.min_block_chars
+        and link_chars.get(b, 0) <= profile.max_link_density * tc
+    }
+    return [
+        (nid, anc) for (nid, anc), b in zip(cands, block_of)
+        if b in kept_blocks
+    ]

@@ -1,0 +1,219 @@
+"""Spark extraction pipeline — the engine's flagship operator.
+
+Design (SURVEY.md §3.4, §4.3):
+
+    scan (url, html only — column pruning reaches the parquet reader)
+      → salted repartition on url hash (defuses giant-page skew)
+      → ONE mapInArrow stage (tokenize → flat tree → extract), the only
+        JVM↔Python boundary on the hot path; no per-row Python UDFs
+      → columnar output batches, byte-capped
+
+Scale notes:
+- Input batches are bounded by spark.sql.execution.arrow.maxRecordsPerBatch;
+  output batches are flushed by BYTES (EXTRACT_FLUSH_BYTES) so one batch
+  of giant pages cannot balloon executor memory.
+- Every document is wrapped in try/except: a pathological page yields an
+  error row instead of failing the task (at 10^12 docs, tail pages WILL
+  be pathological).
+- The kernel is iterative (no recursion) except CSS serialization;
+  RecursionError is caught per-document.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.extract import MAIN_CONTENT, PARITY, ExtractionProfile, extract
+from ..kernel.tokenizer import parse_html
+
+EXTRACT_SCHEMA = (
+    "url string, extracted_text string, "
+    "spans array<struct<start:int,end:int>>, "
+    "n_nodes int, n_text_nodes int, n_bytes bigint, "
+    "parse_ms double, error string"
+)
+
+_PA_SPANS = pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))
+_PA_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("extracted_text", pa.string()),
+    ("spans", _PA_SPANS),
+    ("n_nodes", pa.int32()),
+    ("n_text_nodes", pa.int32()),
+    ("n_bytes", pa.int64()),
+    ("parse_ms", pa.float64()),
+    ("error", pa.string()),
+])
+
+# Flush output batches when accumulated text exceeds this many bytes.
+EXTRACT_FLUSH_BYTES = 32 * 1024 * 1024
+
+
+def _decode(b) -> str:
+    if isinstance(b, (bytes, bytearray, memoryview)):
+        return bytes(b).decode("utf-8", "replace")
+    return b if isinstance(b, str) else ""
+
+
+def _make_extract_fn(profile: ExtractionProfile):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cols = {name: [] for name in _PA_SCHEMA.names}
+        acc_bytes = 0
+
+        def flush():
+            nonlocal cols, acc_bytes
+            out = pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_SCHEMA.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_SCHEMA)
+            cols = {name: [] for name in _PA_SCHEMA.names}
+            acc_bytes = 0
+            return out
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            for url, raw in zip(urls, htmls):
+                html = _decode(raw)
+                n_bytes = len(raw) if raw is not None else 0
+                t0 = time.perf_counter()
+                try:
+                    tree = parse_html(html)
+                    res = extract(tree, profile)
+                    ms = (time.perf_counter() - t0) * 1e3
+                    cols["url"].append(url)
+                    cols["extracted_text"].append(res.text)
+                    cols["spans"].append(
+                        [{"start": s, "end": e} for s, e in res.spans])
+                    cols["n_nodes"].append(res.n_nodes)
+                    cols["n_text_nodes"].append(res.n_text_nodes)
+                    cols["n_bytes"].append(n_bytes)
+                    cols["parse_ms"].append(ms)
+                    cols["error"].append(None)
+                    acc_bytes += len(res.text) + n_bytes // 8
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    ms = (time.perf_counter() - t0) * 1e3
+                    cols["url"].append(url)
+                    cols["extracted_text"].append("")
+                    cols["spans"].append([])
+                    cols["n_nodes"].append(0)
+                    cols["n_text_nodes"].append(0)
+                    cols["n_bytes"].append(n_bytes)
+                    cols["parse_ms"].append(ms)
+                    cols["error"].append(f"{type(e).__name__}: {e}")
+                if acc_bytes >= EXTRACT_FLUSH_BYTES:
+                    yield flush()
+        if cols["url"]:
+            yield flush()
+
+    return fn
+
+
+def extract_documents(
+    df: DataFrame,
+    profile: ExtractionProfile = PARITY,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """documents(url, html, ...) → extracted(url, extracted_text, spans,
+    stats).  Column pruning to (url, html) happens here so it reaches
+    the scan; ``salt_partitions`` forces an explicit pre-UDF exchange on
+    the (unique) url so giant pages spread across tasks instead of
+    clustering in input-file order."""
+    pruned = df.select("url", "html")
+    if salt_partitions:
+        pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
+    return pruned.mapInArrow(_make_extract_fn(profile), EXTRACT_SCHEMA)
+
+
+def extract_main_content(df: DataFrame, **kw) -> DataFrame:
+    return extract_documents(df, profile=MAIN_CONTENT, **kw)
+
+
+# ---- exploded nodes view ----------------------------------------------------
+
+NODES_SCHEMA = (
+    "url string, node_id int, parent_id int, subtree_end int, "
+    "bfs_rank int, depth int, type string, name string, "
+    "attrs map<string,string>, content string, comment_type string, "
+    "style_block boolean, script_block boolean, css_selector string, "
+    "css_name string, css_params string, "
+    "css_declarations map<string,string>, src_start int, src_end int"
+)
+
+_PA_NODES = pa.schema([
+    ("url", pa.string()), ("node_id", pa.int32()),
+    ("parent_id", pa.int32()), ("subtree_end", pa.int32()),
+    ("bfs_rank", pa.int32()), ("depth", pa.int32()),
+    ("type", pa.string()), ("name", pa.string()),
+    ("attrs", pa.map_(pa.string(), pa.string())),
+    ("content", pa.string()), ("comment_type", pa.string()),
+    ("style_block", pa.bool_()), ("script_block", pa.bool_()),
+    ("css_selector", pa.string()), ("css_name", pa.string()),
+    ("css_params", pa.string()),
+    ("css_declarations", pa.map_(pa.string(), pa.string())),
+    ("src_start", pa.int32()), ("src_end", pa.int32()),
+])
+
+
+def _nodes_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_NODES.names}
+        for url, raw in zip(urls, htmls):
+            try:
+                t = parse_html(_decode(raw))
+            except Exception:  # noqa: BLE001
+                continue
+            end = t.subtree_end()
+            n = len(t.type)
+            bfs_rank = [0] * n
+            for rank, nid in enumerate(t.bfs_order(0)):
+                bfs_rank[nid] = rank
+            depth = [0] * n
+            for nid in range(1, n):
+                depth[nid] = depth[t.parent[nid]] + 1
+            for nid in range(n):
+                attrs = t.attrs[nid]
+                decls = t.css_decls[nid]
+                cols["url"].append(url)
+                cols["node_id"].append(nid)
+                cols["parent_id"].append(t.parent[nid])
+                cols["subtree_end"].append(end[nid])
+                cols["bfs_rank"].append(bfs_rank[nid])
+                cols["depth"].append(depth[nid])
+                cols["type"].append(t.type[nid])
+                cols["name"].append(t.name[nid])
+                cols["attrs"].append(
+                    list(attrs.items()) if attrs is not None else None)
+                cols["content"].append(t.content[nid])
+                cols["comment_type"].append(t.comment_type[nid])
+                cols["style_block"].append(t.is_style_block(nid))
+                cols["script_block"].append(t.is_script_block(nid))
+                cols["css_selector"].append(t.css_selector[nid])
+                cols["css_name"].append(t.css_name[nid])
+                cols["css_params"].append(t.css_params[nid])
+                cols["css_declarations"].append(
+                    list(decls.items()) if decls is not None else None)
+                cols["src_start"].append(t.src_start[nid])
+                cols["src_end"].append(t.src_end[nid])
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_NODES.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_NODES)
+
+
+def parse_nodes(df: DataFrame, salt_partitions: int | None = None
+                ) -> DataFrame:
+    """documents(url, html) → one row per SOM node (FIXTURES.md §3) —
+    the SQL-queryable tree view used for oracle-checked operators."""
+    pruned = df.select("url", "html")
+    if salt_partitions:
+        pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
+    return pruned.mapInArrow(_nodes_fn, NODES_SCHEMA)

@@ -1,0 +1,111 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id bigint, embedding array<float>, label int).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector —
+  the correctness baseline.  Dot products via zip_with/aggregate in
+  fp64 (JVM-side, codegen), no Python.
+- ``ivf_topk``: IVF-style scale path — coarse centroids (one per
+  ``label`` cluster), probe the ``nprobe`` nearest centroids, then
+  exact search within probed clusters only.  At 10^9+ vectors the
+  probed fraction bounds the scan; here label is the coarse quantizer
+  (deterministic, so DuckDB can oracle-check it exactly).
+- ``embedding_knn_dedup``: embedding-cosine near-duplicate pairs via
+  a label-bucketed self-join (cosine ≥ τ within the same coarse
+  cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), digits)
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (vec_id, cos_sim), ties broken by vec_id.
+    A single scan + top-k sort (Spark TakeOrderedAndProject — no full
+    sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings
+        .select("vec_id", cosine_sim(F.col("embedding"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, centroid array<double>): elementwise mean per coarse
+    cluster — a partial-aggregating groupBy (map-side combine)."""
+    # posexplode → avg per (label, pos) → re-assemble; pure built-ins.
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label",
+                F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF: pick the nprobe labels whose centroids are most
+    query-similar, brute-force only within them.  Exact within probed
+    clusters; deterministic given the label assignment."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = label_centroids(embeddings)
+    probed = (
+        cents.select("label", cosine_sim(F.col("centroid"), q, 9)
+                     .alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    return (
+        embeddings.join(F.broadcast(probed), "label")
+        .select("vec_id", cosine_sim(F.col("embedding"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_knn_dedup(
+    embeddings: DataFrame, threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vector pairs (vec_a, vec_b, cos_sim ≥ τ) within
+    the same coarse cluster — the bucketed (not all-pairs) self-join."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+            .alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators over ``documents`` — language-ID, quality
+scoring, token counting, document fingerprinting.  All pure built-in
+column expressions (codegen'd, shuffle-free per row); every one has a
+closed-form DuckDB oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny deterministic stopword profiles for the 5 corpus languages.
+# (A real pipeline ships fastText; the *operator shape* — broadcast
+# profile → per-doc score argmax — is the same.)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "de", "y", "que", "en", "un", "es"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他"],
+}
+
+FINGERPRINT_MOD = 2147483647  # 2^31-1: acc*31+c stays < 2^36 (no overflow)
+
+
+def token_count_cols(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len) — whitespace + a
+    BPE-ish subword proxy (4-char pieces, ceil)."""
+    toks = tokens_col()
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_obs"),
+        F.round(total_tok_chars / F.greatest(n_tokens, F.lit(1)), 4)
+        .alias("avg_token_len"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.floor((F.length(t) + 3) / 4)
+            .cast("bigint"),
+        ).alias("n_subword_est"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, q_len_bp, q_alpha_bp, punct_bp, quality_bp) — length /
+    alpha-ratio / punctuation-ratio composite in basis points.
+    INTEGER arithmetic only: floating-point rounding is not reproducible
+    bit-for-bit across engines (Spark vs DuckDB round differ at ties),
+    integer division is."""
+    n = F.length("text").cast("bigint")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) \
+        .cast("bigint")
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")) \
+        .cast("bigint")
+    n1 = F.greatest(n, F.lit(1).cast("bigint"))
+    q_len_bp = F.least(n * 20, F.lit(10000).cast("bigint"))
+    q_alpha_bp = F.floor(n_alpha * 10000 / n1).cast("bigint")
+    punct_bp = F.floor(n_punct * 10000 / n1).cast("bigint")
+    quality_bp = (
+        F.floor((q_len_bp + q_alpha_bp) / 2).cast("bigint") - punct_bp)
+    return docs.select(
+        "doc_id",
+        q_len_bp.alias("q_len_bp"),
+        q_alpha_bp.alias("q_alpha_bp"),
+        punct_bp.alias("punct_bp"),
+        quality_bp.alias("quality_bp"),
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling hash over character codes mod 2^31-1 —
+    arithmetic is exactly reproducible in ANSI SQL (the oracle)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD)
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax over the 5 profiles;
+    deterministic tie-break by language code.  (doc_id, pred_lang,
+    hits)."""
+    toks = tokens_col()
+    scores = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words])))
+            .cast("bigint").alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ])
+    # argmax: sort by (hits desc, lang asc) → first
+    best = F.element_at(
+        F.reverse(F.array_sort(scores)), 1)
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("hits"),
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars")))

@@ -1,0 +1,71 @@
+"""Document sources.
+
+Two input shapes:
+
+1. **Crawl shape** (BASELINE.json input_hint): a table
+   ``(url string, warc_ts timestamp, html binary, text string,
+   lang string)`` — at production scale an Iceberg table partitioned by
+   ``warc_ts``; here parquet.  ``load_documents`` reads it with column
+   pruning left to the caller.
+
+2. **Driver testdata shape** (/root/testdata/sf*/documents.parquet):
+   ``(doc_id, text, lang, source, n_chars)`` — no html.
+   ``render_html`` turns it into the crawl shape DETERMINISTICALLY and
+   entirely JVM-side (format_string + encode: whole-stage codegen, no
+   Python), using a fixed template whose parse results are
+   SQL-derivable — which is what makes the parser pipeline
+   DuckDB-oracle-checkable end-to-end (extracted text, node counts,
+   comment contents are all closed-form functions of the input row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# One-line page template; %1$s = doc_id, %2$s = text, %3$s = lang,
+# %4$s = source.  Keep in sync with oracle SQL in __spark_entry__
+# (ORACLE_* constants) and the counts in tests/test_pipeline.py.
+HTML_TEMPLATE = (
+    '<html><head><title>Doc %1$s</title>'
+    "<style>.main { color: #222; } "
+    "@media print { .main { color: black; } }</style></head>"
+    '<body><nav class="top"><a href="/src/%4$s">%4$s</a>'
+    '<a href="/lang/%3$s">%3$s</a></nav>'
+    '<main class="main"><h1>Doc %1$s</h1>'
+    '<p class="content">%2$s</p></main>'
+    '<aside><a href="/r">related</a></aside>'
+    "<!-- id:%1$s --><footer>corpus footer</footer></body></html>"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def render_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang, source, …) → crawl-shaped
+    (url, warc_ts, html binary, text, lang).  Pure built-in expressions:
+    stays inside whole-stage codegen."""
+    return docs.select(
+        F.format_string("doc://%s/%s", "source", "doc_id").alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(
+            F.format_string(HTML_TEMPLATE, "doc_id", "text", "lang",
+                            "source"),
+            "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-shaped documents for a testdata sf dir (rendered)."""
+    return render_html(load_table(spark, sf_dir, "documents"))

@@ -69,7 +69,15 @@ CSS_ATRULES = """<style>
 li:not(.disabled) { cursor: pointer; }
 </style>"""
 
-_Q_OPS = [
+EXTRACT_OPS = [
+    {"op": "extract"},
+    {"op": "extract", "mode": "density"},
+    {"op": "extract", "mode": "density", "min_block_chars": 1},
+    {"op": "extract", "mode": "density", "min_block_chars": 5,
+     "max_link_density": 0.0},
+]
+
+_Q_OPS = EXTRACT_OPS + [
     {"op": "qsa", "sel": "p"},
     {"op": "qsa", "sel": "div"},
     {"op": "qsa", "sel": "a"},
@@ -260,3 +268,11 @@ CASES = [
      "html": '<style media="screen">.x { a: b; }</style>',
      "ops": [{"op": "css_to_string"}]},
 ]
+
+
+# Every case additionally runs the frozen extraction spec (both
+# profiles) — the flagship byte-identity gate.
+for _case in CASES:
+    for _op in EXTRACT_OPS:
+        if _op not in _case["ops"]:
+            _case["ops"] = list(_case["ops"]) + [_op]

@@ -81,7 +81,12 @@ def gen_doc(rng: random.Random) -> str:
 
 def run_fuzz(n: int, seed: int) -> int:
     rng = random.Random(seed)
-    cases = [{"id": i, "html": gen_doc(rng)} for i in range(n)]
+    extract_ops = [
+        {"op": "extract"},
+        {"op": "extract", "mode": "density", "min_block_chars": 3},
+    ]
+    cases = [{"id": i, "html": gen_doc(rng), "ops": extract_ops}
+             for i in range(n)]
     inp = "\n".join(json.dumps(c, ensure_ascii=False) for c in cases)
     proc = subprocess.run(
         ["node", str(ROOT / "tools" / "ref_dump.mjs")],
@@ -99,6 +104,11 @@ def run_fuzz(n: int, seed: int) -> int:
                   f"on {case['html']!r}")
             continue
         mine = run_case(case)
+        if mine["ops"] != ref["ops"]:
+            failures += 1
+            print(f"FAIL case {case['id']} (extract): {case['html']!r}")
+            print(f"   py : {mine['ops']}\n   ref: {ref['ops']}")
+            continue
         for key in ("dump", "to_html", "to_html_comments"):
             if mine[key] != ref[key]:
                 failures += 1

@@ -43,10 +43,100 @@ function dumpTree(nodes) {
     }));
 }
 
+// FROZEN extraction spec (FIXTURES.md §6) — mirror of
+// simple_html_parser_spark/kernel/extract.py, run over the REFERENCE
+// tree so goldens pin cross-runtime byte-identity of extracted text.
+const EXTRACT_BLACKLIST = new Set([
+    'script', 'style', 'noscript', 'template', 'head', 'nav',
+    'footer', 'aside', 'iframe', 'svg',
+]);
+const BLOCK_TAGS = new Set([
+    'div', 'p', 'article', 'section', 'main', 'td', 'th', 'li',
+    'blockquote', 'pre', 'body', 'h1', 'h2', 'h3', 'h4', 'h5', 'h6',
+]);
+
+function extractCandidates(root) {
+    const cands = [];
+    const walk = (node) => {
+        for (const child of node.children || []) {
+            if (child.type === 'tag-open') {
+                if (EXTRACT_BLACKLIST.has(child.name.toLowerCase())
+                    || child.styleBlock || child.scriptBlock) continue;
+                walk(child);
+            } else if (child.type === 'text') {
+                if (child.content.trim() !== '') cands.push(child);
+            } else {
+                walk(child);
+            }
+        }
+    };
+    walk(root);
+    return cands;
+}
+
+function nearestAncestor(node, names) {
+    let p = node.parent;
+    while (p) {
+        if (p.type === 'tag-open' && names.has(p.name.toLowerCase())) return p;
+        p = p.parent;
+    }
+    return null;
+}
+
+const A_SET = new Set(['a']);
+
+function extractText(root, profile) {
+    const cands = extractCandidates(root);
+    let kept = cands;
+    if (profile.mode === 'density' && cands.length > 0) {
+        const textChars = new Map();
+        const linkChars = new Map();
+        const blockOf = [];
+        for (const c of cands) {
+            const block = nearestAncestor(c, BLOCK_TAGS);
+            blockOf.push(block);
+            const n = c.content.trim().length;
+            textChars.set(block, (textChars.get(block) || 0) + n);
+            // link text counts iff an <a> sits between the text node and
+            // its block (walk hits 'a' before 'block').
+            let p = c.parent;
+            let isLink = false;
+            while (p && p !== block) {
+                if (p.type === 'tag-open' && A_SET.has(p.name.toLowerCase())) {
+                    isLink = true;
+                    break;
+                }
+                p = p.parent;
+            }
+            if (isLink) linkChars.set(block, (linkChars.get(block) || 0) + n);
+        }
+        const keptBlocks = new Set();
+        for (const [b, tc] of textChars.entries()) {
+            if (tc >= profile.minBlockChars
+                && (linkChars.get(b) || 0) <= profile.maxLinkDensity * tc) {
+                keptBlocks.add(b);
+            }
+        }
+        kept = cands.filter((c, i) => keptBlocks.has(blockOf[i]));
+    }
+    return {
+        text: kept.map((c) => c.content).join(''),
+        n_text_nodes: cands.length,
+    };
+}
+
 function runOp(op, root, byId, idOf) {
     const ctx = byId[op.ctx ?? 0];
     const ids = (arr) => arr.map((n) => idOf.get(n) ?? -1);
     switch (op.op) {
+        case 'extract': {
+            const profile = op.mode === 'density'
+                ? { mode: 'density',
+                    minBlockChars: op.min_block_chars ?? 20,
+                    maxLinkDensity: op.max_link_density ?? 0.5 }
+                : { mode: 'parity' };
+            return extractText(root, profile);
+        }
         case 'qsa': return ids(ctx.querySelectorAll(op.sel));
         case 'qs': {
             const r = ctx.querySelector(op.sel);
