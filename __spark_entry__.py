@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: (
         D.dedup_minhash_lsh(_raw_docs(spark, sf), threshold=0.30))
     q["dedup_simhash"] = lambda spark, sf: (
-        D.dedup_simhash(_raw_docs(spark, sf), max_hamming=8))
+        D.dedup_simhash(_raw_docs(spark, sf), max_hamming=3))
 
     # ---- similarity / ANN ----
     q["sim_topk"] = lambda spark, sf: S.cosine_topk(

@@ -15,7 +15,7 @@ Differences from the reference that are deliberate:
 
 from __future__ import annotations
 
-from .jsre import AT_RULE_NAME_CHAR, WS_ONE, js_trim
+from .jsre import AT_RULE_NAME_CHAR, WS_ONE, WS_PLUS as WS_RUN, js_trim
 from .tree import (
     COMMENT, CSS_AT_RULE, CSS_ROOT, CSS_RULE, FLAG_CSS_TOP, FlatTree,
 )
@@ -48,9 +48,8 @@ def parse_css_into(
     stack = [parent]
 
     def skip_ws(p: int) -> int:
-        while p < n and WS_ONE.match(css, p):
-            p += 1
-        return p
+        m = WS_RUN.match(css, p)
+        return m.end() if m else p
 
     def add_top(ntype: str, **kw) -> int:
         """Append under the current container, flagging top-level nodes."""

@@ -37,6 +37,10 @@ CSS_ROOT = "css-root"
 CSS_RULE = "css-rule"
 CSS_AT_RULE = "css-at-rule"
 
+# shared immutable children container for leaf nodes (text/comment/
+# tag-close) — one list per node costs real multi-core throughput
+EMPTY_CHILDREN: tuple = ()
+
 FLAG_STYLE_BLOCK = 1
 FLAG_SCRIPT_BLOCK = 2
 FLAG_CSS_TOP = 4

@@ -30,10 +30,16 @@ def tokens_col(text: Column = None) -> Column:
     return F.filter(F.split(c, " "), lambda x: x != "")
 
 
-def shingles_col(n: int = 3) -> Column:
+def shingles_col(n: int = 3, toks: Column = None) -> Column:
     """Distinct n-gram shingles (space-joined); whole token list as a
-    single shingle for docs shorter than n tokens."""
-    toks = tokens_col()
+    single shingle for docs shorter than n tokens.
+
+    PERF: pass ``toks`` as a materialized COLUMN REFERENCE (e.g. via
+    withColumn) — inlining tokens_col() here makes Catalyst re-evaluate
+    split+filter for every element_at lookup (measured ~10x slowdown:
+    the expression is quadratic per document otherwise)."""
+    if toks is None:
+        toks = tokens_col()
     size = F.size(toks)
     ngrams = F.transform(
         F.sequence(F.lit(0), size - n),
@@ -42,6 +48,15 @@ def shingles_col(n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.when(size >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def _exploded_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh) — tokens materialized once per row, then shingled."""
+    return (
+        docs.select("doc_id", tokens_col().alias("_toks"))
+        .select("doc_id",
+                F.explode(shingles_col(n, F.col("_toks"))).alias("sh"))
+    )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -57,10 +72,7 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def _shingle_exploded(docs: DataFrame, n: int,
                       max_shingle_df: int | None) -> DataFrame:
-    ex = (
-        docs.select("doc_id", shingles_col(n).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("sh"))
-    )
+    ex = _exploded_shingles(docs, n)
     if max_shingle_df:
         hot = (ex.groupBy("sh").count()
                .where(F.col("count") > max_shingle_df).select("sh"))
@@ -110,19 +122,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
     xxhash64(shingle, seed=i) — all JVM-side array expressions."""
-    sh = shingles_col(n)
-
-    def _hasher(seed: int):
-        # factory, NOT `lambda s, i=i: ...` — a 2-param lambda makes
-        # transform() bind the ARRAY INDEX to the second param,
-        # silently shadowing the seed.
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(*[
-        F.array_min(F.transform(sh, _hasher(i)))
+    # explode → k min-aggregates → reassemble.  One shuffle on doc_id
+    # with full map-side combine; k nested array-transforms per row
+    # would instead build a codegen-busting expression tree (measured
+    # 78s vs ~4s at sf0.01).
+    ex = _exploded_shingles(docs, n)
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
-    ])
-    return docs.select("doc_id", sig.alias("sig"))
+    ]
+    return (
+        ex.groupBy("doc_id").agg(*aggs)
+        .select("doc_id",
+                F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def dedup_minhash_lsh(
@@ -175,9 +188,15 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash bigint): sign of per-bit vote over token
     hashes.  bit j of token t = bit j of xxhash64(t); vote = Σ (+1/-1).
     Pure array expressions, one pass."""
-    toks = F.array_distinct(tokens_col())
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n_toks = F.size(toks)
+    # materialize the hash array once per row (column reference), or
+    # every one of the 64 bit-count aggregates re-evaluates
+    # split+filter+hash — same Catalyst non-CSE trap as shingles_col
+    docs = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens_col()),
+                    lambda t: F.xxhash64(t)).alias("_h"))
+    hashes = F.col("_h")
+    n_toks = F.size(hashes)
     # votes_j > 0  ⟺  2 * popcount_j > n_tokens
     def _bit_counter(j: int):
         # NB: a `j=j` default param would change the lambda's arity and

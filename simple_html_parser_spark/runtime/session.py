@@ -14,6 +14,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
+    # local mode: the driver JVM hosts all executor threads — the 1g
+    # default heap GC-thrashes at 32 threads (measured 4x slowdown).
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

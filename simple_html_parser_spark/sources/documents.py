@@ -69,3 +69,41 @@ def render_html(docs: DataFrame) -> DataFrame:
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-shaped documents for a testdata sf dir (rendered)."""
     return render_html(load_table(spark, sf_dir, "documents"))
+
+
+def render_html_heavy(docs: DataFrame, paras: int = 40) -> DataFrame:
+    """Bench-realistic pages (~10-40 KB): ``paras`` indexed paragraphs
+    plus a nav link list and a style block.  Still pure JVM expressions
+    and still deterministic; used by bench.py so measured throughput
+    reflects kernel work on crawl-sized pages, not per-row overhead."""
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(paras)),
+            lambda i: F.format_string(
+                '<p class="content">para %s %s</p>',
+                i.cast("string"), F.col("text"))),
+        "")
+    navs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.format_string(
+                '<li><a href="/t/%s">tag %s</a></li>',
+                i.cast("string"), i.cast("string"))),
+        "")
+    page = F.concat(
+        F.format_string(
+            '<html><head><title>Doc %s</title>'
+            "<style>.main { color: #222; } .nav { display: none; } "
+            "@media print { .main { color: black; } }</style></head>"
+            '<body><nav class="nav"><ul>', "doc_id"),
+        navs,
+        F.lit('</ul></nav><main class="main">'),
+        F.format_string("<h1>Doc %s</h1>", "doc_id"),
+        body,
+        F.lit("</main><footer>corpus footer</footer></body></html>"),
+    )
+    return docs.select(
+        F.format_string("doc://%s/%s", "source", "doc_id").alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
