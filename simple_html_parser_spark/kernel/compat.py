@@ -37,6 +37,10 @@ def dump_tree(tree: FlatTree) -> list[dict]:
 def run_op(tree: FlatTree, op: dict):
     ctx = op.get("ctx", 0)
     name = op["op"]
+    if name == "mutate":
+        return _run_mutation(tree, op["steps"])
+    if name == "iterate":
+        return _run_iterate(tree, op.get("remove"))
     if name == "extract":
         from .extract import ExtractionProfile, extract
         if op.get("mode") == "density":
@@ -117,16 +121,113 @@ def run_case(case: dict) -> dict:
     ops?} case."""
     special = tuple(case.get("special_tags") or DEFAULT_SPECIAL_TAGS)
     tree = parse_html(case["html"], special)
+    # dump/serialize BEFORE ops: mutate ops change the tree, and the JS
+    # harness evaluates its result fields in this order too
+    result = {
+        "id": case["id"],
+        "dump": dump_tree(tree),
+        "to_html": serialize.to_html(tree, 0, False),
+        "to_html_comments": serialize.to_html(tree, 0, True),
+    }
     ops_out = []
     for op in case.get("ops") or []:
         try:
             ops_out.append({"ok": run_op(tree, op)})
         except Exception as e:  # noqa: BLE001 — mirror JS error capture
             ops_out.append({"error": str(e)})
+    result["ops"] = ops_out
+    return result
+
+
+# ---- scripted mutation / iteration mirrors (see tools/ref_dump.mjs) -------
+
+
+def _resolve_sel(tree: FlatTree, sel: str, index: int | None):
+    matches = selector.query_selector_all(tree, 0, sel)
+    idx = index or 0
+    if idx >= len(matches):
+        raise ValueError(f"no match for {sel}[{idx}]")
+    return matches[idx]
+
+
+def _run_mutation(tree: FlatTree, steps: list[dict]) -> dict:
+    from . import manipulate as M
+    for st in steps:
+        target = _resolve_sel(tree, st["sel"], st.get("index")) \
+            if st.get("sel") else 0
+        act = st["act"]
+        if act == "create_append":
+            M.append_child(tree, target, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
+        elif act == "append_sel":
+            M.append_child(tree, target, _resolve_sel(
+                tree, st["node_sel"], st.get("node_index")))
+        elif act == "insert_before_new":
+            M.insert_before(tree, target, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
+        elif act == "insert_after_new":
+            M.insert_after(tree, target, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
+        elif act == "insert_before_sel":
+            M.insert_before(tree, target, _resolve_sel(
+                tree, st["node_sel"], st.get("node_index")))
+        elif act == "insert_after_sel":
+            M.insert_after(tree, target, _resolve_sel(
+                tree, st["node_sel"], st.get("node_index")))
+        elif act == "replace_with_new":
+            M.replace_with(tree, target, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
+        elif act == "replace_with_sel":
+            M.replace_with(tree, target, _resolve_sel(
+                tree, st["node_sel"], st.get("node_index")))
+        elif act == "remove":
+            M.remove(tree, target)
+        elif act == "remove_close":
+            closing = M.find_closing_tag(tree, target)
+            if closing is None:
+                raise ValueError("no adjacent closing tag")
+            M.remove(tree, closing)
+        elif act == "iah":
+            M.insert_adjacent_html(tree, target, st["position"],
+                                   st["html"])
+        elif act == "set_attr":
+            selector.set_attribute(tree, target, st["name"], st["value"])
+        elif act == "remove_attr":
+            selector.remove_attribute(tree, target, st["name"])
+        elif act == "update_attr":
+            selector.update_attribute(tree, target, st["name"],
+                                      st["value"], st.get("sep", " "))
+        else:
+            raise ValueError(f"unknown act {act}")
     return {
-        "id": case["id"],
-        "dump": dump_tree(tree),
-        "to_html": serialize.to_html(tree, 0, False),
-        "to_html_comments": serialize.to_html(tree, 0, True),
-        "ops": ops_out,
+        "html": serialize.to_html(tree, 0, False),
+        "html_comments": serialize.to_html(tree, 0, True),
+    }
+
+
+def _node_label(tree: FlatTree, nid: int) -> str:
+    return f"{tree.type[nid]}:{tree.name[nid]}:{tree.content[nid]}"
+
+
+def _run_iterate(tree: FlatTree, remove_spec: dict | None) -> dict:
+    from .manipulate import DomIterator
+    it = DomIterator(tree, 0)
+    visited = []
+    for nid in it:
+        visited.append(_node_label(tree, nid))
+        if remove_spec and (
+            (not remove_spec.get("type")
+             or tree.type[nid] == remove_spec["type"])
+            and (not remove_spec.get("name")
+                 or tree.name[nid] == remove_spec["name"])
+            and (not remove_spec.get("content")
+                 or tree.content[nid] == remove_spec["content"])
+        ):
+            it.remove(nid)
+        if remove_spec and remove_spec.get("skip_at") \
+                and _node_label(tree, nid) == remove_spec["skip_at"]:
+            it.skip_children()
+    return {
+        "visited": visited,
+        "html": serialize.to_html(tree, 0, True),
     }

@@ -81,7 +81,14 @@ def to_html(tree: FlatTree, nid: int = 0, show_comments: bool = False) -> str:
     stack: list[tuple[int, int | str]] = [(0, nid)]  # (0=node, 1=literal)
     children = tree.children
     ttype = tree.type
+    # manipulation can create cycles (appendChild of an ancestor — the
+    # reference stack-overflows there); bound the walk instead of
+    # spinning forever
+    budget = 4 * len(ttype) + 1048576
     while stack:
+        budget -= 1
+        if budget < 0:
+            raise RuntimeError("serialization cycle / runaway tree")
         kind, v = stack.pop()
         if kind == 1:
             parts.append(v)

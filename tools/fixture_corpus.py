@@ -276,3 +276,121 @@ for _case in CASES:
     for _op in EXTRACT_OPS:
         if _op not in _case["ops"]:
             _case["ops"] = list(_case["ops"]) + [_op]
+
+# ---- manipulation + iterator cases (M1-M8, Q1) ----------------------------
+
+MAN_PAGE = """<div id="wrap">
+    <p class="a">alpha</p>
+    <span class="b">beta</span>
+    <div class="inner"><i>deep</i></div>
+</div>
+<ul id="list">
+    <li class="x">one</li>
+    <li class="y">two</li>
+</ul>"""
+
+CASES += [
+    {"id": "man-create-basic", "html": '<div id="c"></div>',
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "create_append", "sel": "#c", "tag": "p",
+          "attrs": {"class": "new"}, "text": "Hello"},
+         {"act": "create_append", "sel": "#c", "tag": "img",
+          "attrs": {"src": "x.jpg"}},
+         {"act": "create_append", "sel": "#c", "tag": "BR"},
+         {"act": "create_append", "tag": "footer", "text": "end"},
+     ]}]},
+    {"id": "man-append-move", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "append_sel", "sel": "#list", "node_sel": ".a"},
+         {"act": "append_sel", "sel": "#wrap", "node_sel": ".y"},
+     ]}]},
+    {"id": "man-insert-before", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "insert_before_new", "sel": ".b", "tag": "em",
+          "text": "before-b"},
+         {"act": "insert_before_sel", "sel": ".a", "node_sel": ".x"},
+         {"act": "insert_before_sel", "sel": ".a", "node_sel": ".b"},
+     ]}]},
+    {"id": "man-insert-after", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "insert_after_new", "sel": ".a", "tag": "em",
+          "text": "after-a"},
+         {"act": "insert_after_sel", "sel": ".inner", "node_sel": ".x"},
+     ]}]},
+    {"id": "man-same-parent-move", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "insert_after_sel", "sel": ".inner", "node_sel": ".a"},
+         {"act": "insert_before_sel", "sel": ".a", "node_sel": ".b"},
+     ]}]},
+    {"id": "man-replace", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "replace_with_new", "sel": ".b", "tag": "strong",
+          "text": "replaced"},
+     ]}]},
+    {"id": "man-replace-parent-by-child", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "replace_with_sel", "sel": "#wrap",
+          "node_sel": ".inner"},
+     ]}]},
+    {"id": "man-remove", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "remove", "sel": ".a"},
+         {"act": "remove_close", "sel": ".inner"},
+         {"act": "remove", "sel": "#list"},
+     ]}]},
+    {"id": "man-iah", "html": '<div id="c">Hello</div><img id="v">',
+     "ops": [
+         {"op": "mutate", "steps": [
+             {"act": "iah", "sel": "#c", "position": "beforebegin",
+              "html": "<p>BB</p>"},
+             {"act": "iah", "sel": "#c", "position": "afterbegin",
+              "html": "<span>AB</span><b>AB2</b>"},
+             {"act": "iah", "sel": "#c", "position": "beforeend",
+              "html": "<span>BE</span>"},
+             {"act": "iah", "sel": "#c", "position": "afterend",
+              "html": "<p>AE</p>"},
+         ]},
+         {"op": "mutate", "steps": [
+             {"act": "iah", "sel": "#v", "position": "afterbegin",
+              "html": "<p>boom</p>"},
+         ]},
+         {"op": "mutate", "steps": [
+             {"act": "iah", "sel": "#v", "position": "badpos",
+              "html": "x"},
+         ]},
+     ]},
+    {"id": "man-attrs", "html": '<p id="t" class="one">x</p>',
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "set_attr", "sel": "#t", "name": "data-x",
+          "value": "1"},
+         {"act": "update_attr", "sel": "#t", "name": "class",
+          "value": "two"},
+         {"act": "update_attr", "sel": "#t", "name": "class",
+          "value": "one"},
+         {"act": "remove_attr", "sel": "#t", "name": "id"},
+     ]}]},
+    {"id": "man-sequence", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "create_append", "sel": ".inner", "tag": "p",
+          "text": "added"},
+         {"act": "append_sel", "sel": ".inner", "node_sel": ".x"},
+         {"act": "remove", "sel": ".y"},
+         {"act": "iah", "sel": "#list", "position": "beforeend",
+          "html": "<li class='z'>three</li>"},
+         {"act": "replace_with_new", "sel": ".z", "tag": "li",
+          "text": "final"},
+         {"act": "set_attr", "sel": "#wrap", "name": "data-done",
+          "value": "yes"},
+     ]}]},
+    {"id": "iter-plain", "html": MAN_PAGE,
+     "ops": [{"op": "iterate"}]},
+    {"id": "iter-remove-current", "html": MAN_PAGE,
+     "ops": [{"op": "iterate",
+              "remove": {"type": "tag-open", "name": "span"}}]},
+    {"id": "iter-remove-text", "html": "<div><p>a</p><span>b</span></div>",
+     "ops": [{"op": "iterate",
+              "remove": {"type": "text", "content": "a"}}]},
+    {"id": "iter-skip-noop", "html": "<div><p>a</p></div><i>c</i>",
+     "ops": [{"op": "iterate",
+              "remove": {"skip_at": "tag-open:div:"}}]},
+]

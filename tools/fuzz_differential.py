@@ -79,6 +79,64 @@ def gen_doc(rng: random.Random) -> str:
     return "".join(parts)
 
 
+MUT_TAGS = ["div", "p", "em", "img", "li", "x-y"]
+MUT_SELS = ["div", "p", "span", "li", "a", ".a", "#w", "ul", "b"]
+
+
+def gen_mutation_steps(rng: random.Random) -> list[dict]:
+    steps = []
+    for _ in range(rng.randint(1, 6)):
+        r = rng.random()
+        sel = rng.choice(MUT_SELS)
+        node_sel = rng.choice(MUT_SELS)
+        idx = rng.randint(0, 1)
+        if r < 0.2:
+            steps.append({"act": "create_append", "sel": sel,
+                          "index": idx, "tag": rng.choice(MUT_TAGS),
+                          "attrs": {"k": "v"} if rng.random() < 0.5 else {},
+                          "text": rng.choice([None, "txt", " "])})
+        elif r < 0.35:
+            steps.append({"act": rng.choice(
+                ["insert_before_sel", "insert_after_sel", "append_sel",
+                 "replace_with_sel"]),
+                "sel": sel, "index": idx, "node_sel": node_sel,
+                "node_index": rng.randint(0, 1)})
+        elif r < 0.5:
+            steps.append({"act": rng.choice(
+                ["insert_before_new", "insert_after_new",
+                 "replace_with_new"]),
+                "sel": sel, "index": idx, "tag": rng.choice(MUT_TAGS),
+                "text": "n"})
+        elif r < 0.7:
+            steps.append({"act": rng.choice(["remove", "remove_close"]),
+                          "sel": sel, "index": idx})
+        elif r < 0.85:
+            steps.append({"act": "iah", "sel": sel, "index": idx,
+                          "position": rng.choice(
+                              ["beforebegin", "afterbegin", "beforeend",
+                               "afterend"]),
+                          "html": rng.choice(
+                              ["<p>new</p>", "x<em>y</em>",
+                               "<img s=1>", "<!--c-->tail"])})
+        else:
+            steps.append({"act": rng.choice(
+                ["set_attr", "update_attr", "remove_attr"]),
+                "sel": sel, "index": idx, "name": "class", "value": "zz"})
+    return steps
+
+
+def gen_mutation_doc(rng: random.Random) -> str:
+    parts = ['<div id="w">']
+    for _ in range(rng.randint(2, 8)):
+        tag = rng.choice(["p", "span", "li", "b", "a", "div"])
+        cls = rng.choice(['', ' class="a"', ' class="b"'])
+        ws = rng.choice(["", "\n  ", " "])
+        parts.append(f"{ws}<{tag}{cls}>{rng.choice(['t', 'u v', ''])}"
+                     f"</{tag}>")
+    parts.append("</div><ul><li>z</li></ul>")
+    return "".join(parts)
+
+
 def run_fuzz(n: int, seed: int) -> int:
     rng = random.Random(seed)
     extract_ops = [
@@ -87,6 +145,19 @@ def run_fuzz(n: int, seed: int) -> int:
     ]
     cases = [{"id": i, "html": gen_doc(rng), "ops": extract_ops}
              for i in range(n)]
+    # mutation-sequence cases: same doc, scripted M1-M8 ops + iterate
+    for i in range(n, n + n // 2):
+        rng2 = random.Random(seed * 100003 + i)
+        cases.append({
+            "id": i, "html": gen_mutation_doc(rng2),
+            "ops": [
+                {"op": "mutate", "steps": gen_mutation_steps(rng2)},
+                {"op": "iterate"},
+                {"op": "iterate", "remove": {"type": "tag-open",
+                                             "name": "p"}},
+            ],
+        })
+    n = len(cases)
     inp = "\n".join(json.dumps(c, ensure_ascii=False) for c in cases)
     proc = subprocess.run(
         ["node", str(ROOT / "tools" / "ref_dump.mjs")],
@@ -104,6 +175,19 @@ def run_fuzz(n: int, seed: int) -> int:
                   f"on {case['html']!r}")
             continue
         mine = run_case(case)
+        # error results: compare PRESENCE only and stop at the first
+        # (messages differ across runtimes and the tree state after a
+        # mid-operation crash is partially mutated on both sides)
+        def _norm_ops(ops):
+            out = []
+            for o in ops:
+                if "error" in o:
+                    out.append({"error": True})
+                    break
+                out.append(o)
+            return out
+        mine["ops"] = _norm_ops(mine["ops"])
+        ref["ops"] = _norm_ops(ref["ops"])
         if mine["ops"] != ref["ops"]:
             failures += 1
             print(f"FAIL case {case['id']} (extract): {case['html']!r}")

@@ -125,10 +125,98 @@ function extractText(root, profile) {
     };
 }
 
+function resolveSel(root, sel, index) {
+    const matches = root.querySelectorAll(sel);
+    const node = matches[index ?? 0];
+    if (!node) throw new Error(`no match for ${sel}[${index ?? 0}]`);
+    return node;
+}
+
+function closingOf(node) {
+    const siblings = node.parent.children;
+    const i = siblings.indexOf(node);
+    const cand = siblings[i + 1];
+    if (cand && cand.type === 'tag-close' && cand.name === node.name) return cand;
+    throw new Error('no adjacent closing tag');
+}
+
+function runMutation(root, steps) {
+    // Scripted mutation interpreter — mirrored in
+    // simple_html_parser_spark/kernel/compat.py so manipulation
+    // semantics are golden-compared end-to-end.
+    for (const st of steps) {
+        const target = st.sel ? resolveSel(root, st.sel, st.index) : root;
+        switch (st.act) {
+            case 'create_append':
+                target.appendChild(...target.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
+            case 'append_sel':
+                target.appendChild(resolveSel(root, st.node_sel, st.node_index));
+                break;
+            case 'insert_before_new':
+                target.insertBefore(...root.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
+            case 'insert_after_new':
+                target.insertAfter(...root.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
+            case 'insert_before_sel':
+                target.insertBefore(resolveSel(root, st.node_sel, st.node_index));
+                break;
+            case 'insert_after_sel':
+                target.insertAfter(resolveSel(root, st.node_sel, st.node_index));
+                break;
+            case 'replace_with_new':
+                target.replaceWith(...root.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
+            case 'replace_with_sel':
+                target.replaceWith(resolveSel(root, st.node_sel, st.node_index));
+                break;
+            case 'remove': target.remove(); break;
+            case 'remove_close': closingOf(target).remove(); break;
+            case 'iah': target.insertAdjacentHTML(st.position, st.html); break;
+            case 'set_attr': target.setAttribute(st.name, st.value); break;
+            case 'remove_attr': target.removeAttribute(st.name); break;
+            case 'update_attr':
+                target.updateAttribute(st.name, st.value, st.sep ?? ' ');
+                break;
+            default: throw new Error(`unknown act ${st.act}`);
+        }
+    }
+    return { html: root.toHtml(false), html_comments: root.toHtml(true) };
+}
+
+function nodeLabel(n) {
+    return `${n.type}:${n.name}:${n.content}`;
+}
+
+function runIterate(root, removeSpec) {
+    const visited = [];
+    for (const n of root) {
+        visited.push(nodeLabel(n));
+        if (removeSpec
+            && (!removeSpec.type || n.type === removeSpec.type)
+            && (!removeSpec.name || n.name === removeSpec.name)
+            && (!removeSpec.content || n.content === removeSpec.content)) {
+            n.remove();
+        }
+        if (removeSpec && removeSpec.skip_at
+            && nodeLabel(n) === removeSpec.skip_at) {
+            n.skipChildren();
+        }
+    }
+    return { visited, html: root.toHtml(true) };
+}
+
 function runOp(op, root, byId, idOf) {
     const ctx = byId[op.ctx ?? 0];
     const ids = (arr) => arr.map((n) => idOf.get(n) ?? -1);
     switch (op.op) {
+        case 'mutate': return runMutation(root, op.steps);
+        case 'iterate': return runIterate(root, op.remove ?? null);
         case 'extract': {
             const profile = op.mode === 'density'
                 ? { mode: 'density',
