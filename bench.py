@@ -132,12 +132,17 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "binary_meta", "q1_pricing", "q3_top_orders", "events_topk",
         "part_shipped",
     ]
+    trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))
     out = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            wall = round(time.perf_counter() - t0, 3)
+            best = wall if best is None or wall < best else best
+        out[name] = best
         log(f"  {name}: {out[name]}s ({n} rows)")
     return out
 

@@ -41,6 +41,15 @@ def run_op(tree: FlatTree, op: dict):
         return _run_mutation(tree, op["steps"])
     if name == "iterate":
         return _run_iterate(tree, op.get("remove"))
+    if name == "visualize":
+        return serialize.visualize(
+            tree, ctx,
+            show_attributes=op.get("attrs", True),
+            show_content=op.get("content", True),
+            show_node_number=op.get("numbers", False),
+            show_node_type=op.get("types", False),
+            content_preview_length=op.get("preview_len", 20),
+        )
     if name == "extract":
         from .extract import ExtractionProfile, extract
         if op.get("mode") == "density":

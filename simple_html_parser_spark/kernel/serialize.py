@@ -344,3 +344,86 @@ def css_tree_to_string(
         elif tree.children[nid]:
             css += css_tree_to_string(tree, tree.children[nid], indent)
     return css
+
+
+# ---- visualize (S6, node.js:2009-2148) -------------------------------------
+
+
+def visualize(
+    tree: FlatTree, nid: int = 0,
+    content_preview_length: int = 20,
+    show_attributes: bool = True,
+    show_content: bool = True,
+    show_node_number: bool = False,
+    show_node_type: bool = False,
+) -> str:
+    """ASCII box-drawing tree (reference visualize with
+    returnString=true).  css-* node types get empty labels, exactly
+    like the reference's unhandled branches."""
+    from .jsre import js_trim
+    from .tree import COMMENT as _C, ROOT as _R, TAG_CLOSE as _TC, \
+        TAG_OPEN as _TO, TEXT as _T
+
+    def preview(content: str) -> str:
+        if not content or not show_content:
+            return ""
+        trimmed = js_trim(content)
+        if not trimmed:
+            return ""
+        if len(trimmed) > content_preview_length:
+            return f': "{trimmed[:content_preview_length - 3]}..."'
+        return f': "{trimmed}"'
+
+    def fmt_attrs(attrs: dict | None) -> str:
+        if not show_attributes or not attrs:
+            return ""
+        return " " + " ".join(
+            k if v == "__EMPVAL__" else f'{k}="{v}"'
+            for k, v in js_entries(attrs))
+
+    def label(n: int, is_root_call: bool) -> str:
+        ty = tree.type[n]
+        if is_root_call and ty == _R:
+            return "ROOT"
+        if ty == _T:
+            return f"TEXT{preview(tree.content[n])}"
+        if ty == _C:
+            ct = f" ({tree.comment_type[n]})" if tree.comment_type[n] \
+                else ""
+            return f"COMMENT{ct}{preview(tree.content[n])}"
+        if ty == _TO:
+            return f"<{tree.name[n]}{fmt_attrs(tree.attrs[n])}>"
+        if ty == _TC:
+            return f"</{tree.name[n]}>"
+        return ""
+
+    counter = 0
+
+    def decorate(n: int, base: str) -> str:
+        nonlocal counter
+        out = base
+        if show_node_type:
+            out += f" ({tree.type[n]}"
+            if tree.is_script_block(n):
+                out += ", script-block"
+            out += ")"
+        if show_node_number:
+            out += f" [{counter}]"
+            counter += 1
+        return out
+
+    def walk(n: int, prefix: str, is_last: bool, parents: tuple):
+        lines.append(decorate(
+            n, "".join(parents) + prefix + label(n, False)))
+        ckids = tree.children[n]
+        if ckids:
+            nxt = parents + (("    " if is_last else "│   "),)
+            for i, c in enumerate(ckids):
+                clast = i == len(ckids) - 1
+                walk(c, "└── " if clast else "├── ", clast, nxt)
+
+    lines: list[str] = [decorate(nid, label(nid, True))]
+    for i, c in enumerate(tree.children[nid]):
+        last = i == len(tree.children[nid]) - 1
+        walk(c, "└── " if last else "├── ", last, ())
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,126 @@
+"""End-to-end Spark pipeline tests: extraction parity against the
+closed-form oracle, spans validity, resumable lineage, streaming, and
+multimodal plumbing.  One shared local session (JVM start ≈ 10 s)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simple_html_parser_spark.operators.extraction import (  # noqa: E402
+    extract_documents, parse_nodes,
+)
+from simple_html_parser_spark.runtime import lineage  # noqa: E402
+from simple_html_parser_spark.runtime.session import get_spark  # noqa: E402
+from simple_html_parser_spark.runtime.streaming import (  # noqa: E402
+    stream_extract,
+)
+from simple_html_parser_spark.sources.documents import (  # noqa: E402
+    load_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pytest", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF)
+
+
+def test_extraction_matches_closed_form(spark, docs):
+    ext = extract_documents(docs, salt_partitions=8)
+    expect = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.format_string("doc://%s/%s", "source", "doc_id")
+            .alias("url"),
+            F.format_string("Doc %s%s", "doc_id", "text").alias("expect"))
+    )
+    joined = ext.join(expect, "url")
+    assert joined.where(
+        F.col("extracted_text") != F.col("expect")).count() == 0
+    assert ext.where(F.col("error").isNotNull()).count() == 0
+
+
+def test_spans_point_at_source(spark, docs):
+    """Invariant: html[start:end] == kept text content, per span."""
+    sample = docs.limit(20).collect()
+    from simple_html_parser_spark.kernel.extract import PARITY, extract
+    from simple_html_parser_spark.kernel.tokenizer import parse_html
+    for row in sample:
+        html = bytes(row.html).decode("utf-8")
+        res = extract(parse_html(html), PARITY)
+        rebuilt = "".join(html[s:e] for s, e in res.spans)
+        assert rebuilt == res.text
+
+
+def test_nodes_view_shape(spark, docs):
+    nodes = parse_nodes(docs.limit(10))
+    rows = nodes.collect()
+    per_url: dict = {}
+    for r in rows:
+        per_url.setdefault(r.url, []).append(r)
+    for url, ns in per_url.items():
+        ns.sort(key=lambda r: r.node_id)
+        assert ns[0].type == "root" and ns[0].parent_id == -1
+        for r in ns[1:]:
+            assert 0 <= r.parent_id < r.node_id  # pre-order parents
+            assert r.subtree_end >= r.node_id
+
+
+def test_resumable_lineage(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    subset = docs.limit(40)
+
+    stats1 = lineage.run_resumable_extraction(
+        spark, subset, out, lin, run_id="r1", n_buckets=4)
+    assert stats1["buckets_processed"] == 4
+    total1 = spark.read.parquet(f"{out}/bucket=0").count() + sum(
+        spark.read.parquet(f"{out}/bucket={b}").count() for b in (1, 2, 3))
+    assert stats1["docs"] == total1 == 40
+
+    # resume: nothing left to do
+    stats2 = lineage.run_resumable_extraction(
+        spark, subset, out, lin, run_id="r1", n_buckets=4)
+    assert stats2["buckets_processed"] == 0
+
+    m = lineage.run_metrics(spark, lin, "r1").collect()[0]
+    assert m.total_docs == 40 and m.n_buckets == 4
+
+
+def test_streaming_extraction(spark, docs, tmp_path):
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    docs.limit(30).write.parquet(inp)
+    q = stream_extract(spark, inp, outp, chk)
+    q.awaitTermination(120)
+    got = spark.read.parquet(outp)
+    assert got.count() == 30
+    assert got.where(F.col("extracted_text") == "").count() == 0
+
+
+def test_multimodal_stub(spark, docs):
+    from simple_html_parser_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    feats = extract_image_features(docs.limit(16))
+    rows = feats.collect()
+    assert len(rows) == 16
+    assert all(not r.decoded for r in rows)
+    assert all(r.width == r.n_bytes % 640 + 1 for r in rows)

@@ -393,4 +393,14 @@ CASES += [
     {"id": "iter-skip-noop", "html": "<div><p>a</p></div><i>c</i>",
      "ops": [{"op": "iterate",
               "remove": {"skip_at": "tag-open:div:"}}]},
+    {"id": "visualize", "html": COMPLEX_PAGE, "ops": [
+        {"op": "visualize"},
+        {"op": "visualize", "numbers": True, "types": True},
+        {"op": "visualize", "attrs": False, "content": False},
+        {"op": "visualize", "preview_len": 8},
+        {"op": "visualize", "ctx": 1},
+    ]},
+    {"id": "visualize-special",
+     "html": "<jhp>x // c\n</jhp><style>.a{b:c}</style>",
+     "ops": [{"op": "visualize", "types": True}]},
 ]

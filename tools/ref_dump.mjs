@@ -216,6 +216,14 @@ function runOp(op, root, byId, idOf) {
     const ids = (arr) => arr.map((n) => idOf.get(n) ?? -1);
     switch (op.op) {
         case 'mutate': return runMutation(root, op.steps);
+        case 'visualize': return ctx.visualize({
+            returnString: true,
+            showAttributes: op.attrs ?? true,
+            showContent: op.content ?? true,
+            showNodeNumber: op.numbers ?? false,
+            showNodeType: op.types ?? false,
+            contentPreviewLength: op.preview_len ?? 20,
+        });
         case 'iterate': return runIterate(root, op.remove ?? null);
         case 'extract': {
             const profile = op.mode === 'density'
