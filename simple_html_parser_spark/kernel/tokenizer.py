@@ -70,14 +70,10 @@ def parse_html(
     ap_content = t.content.append
     ap_parent = t.parent.append
     ap_children = t.children.append
-    ap_ct = t.comment_type.append
     ap_flags = t.flags.append
-    ap_csel = t.css_selector.append
-    ap_cname = t.css_name.append
-    ap_cparams = t.css_params.append
-    ap_cdecls = t.css_decls.append
     ap_s0 = t.src_start.append
     ap_s1 = t.src_end.append
+    ct_col = t.comment_type
 
     def emit(parent: int, ntype: str, name: str = "", attrs=None,
              content: str = "", ct=None, flags: int = 0,
@@ -92,14 +88,11 @@ def parse_html(
         # children tuple: a list per node measurably hurts multi-core
         # scaling (allocator contention at 10^5 nodes/doc)
         ap_children(EMPTY_CHILDREN if leaf else [])
-        ap_ct(ct)
         ap_flags(flags)
-        ap_csel(None)
-        ap_cname(None)
-        ap_cparams(None)
-        ap_cdecls(None)
         ap_s0(s0)
         ap_s1(s1)
+        if ct is not None:
+            ct_col[nid] = ct
         tchildren[parent].append(nid)
         return nid
 

