@@ -92,21 +92,55 @@ def _candidates(tree: FlatTree, profile: ExtractionProfile):
     return out
 
 
+def _parity_candidates(tree: FlatTree, profile: ExtractionProfile):
+    """Ancestor-free fast walk (parity keeps every candidate, so the
+    nearest-element bookkeeping of _candidates is dead weight here)."""
+    out: list[int] = []
+    children = tree.children
+    ttype = tree.type
+    tname = tree.name
+    content = tree.content
+    flags = tree.flags
+    blacklist = profile.blacklist
+    stack = [0]
+    push = stack.append
+    pop = stack.pop
+    while stack:
+        nid = pop()
+        ty = ttype[nid]
+        if ty == TEXT:
+            if js_trim(content[nid]) != "":
+                out.append(nid)
+            continue
+        if ty == TAG_OPEN and (
+                flags[nid] & 3 or tname[nid].lower() in blacklist):
+            continue
+        kids = children[nid]
+        for i in range(len(kids) - 1, -1, -1):
+            push(kids[i])
+    return out
+
+
 def extract(
     tree: FlatTree, profile: ExtractionProfile = PARITY
 ) -> ExtractResult:
-    cands = _candidates(tree, profile)
-    n_text_nodes = len(cands)
-
-    if profile.mode == "parity" or not cands:
-        kept = cands
+    if profile.mode == "parity":
+        kept_ids = _parity_candidates(tree, profile)
+        n_text_nodes = len(kept_ids)
     else:
-        kept = _density_filter(tree, cands, profile)
+        cands = _candidates(tree, profile)
+        n_text_nodes = len(cands)
+        kept = cands if not cands else _density_filter(
+            tree, cands, profile)
+        kept_ids = [nid for nid, _ in kept]
 
-    text = "".join(tree.content[nid] for nid, _ in kept)
+    content = tree.content
+    text = "".join(content[nid] for nid in kept_ids)
+    src_start = tree.src_start
+    src_end = tree.src_end
     spans = [
-        (tree.src_start[nid], tree.src_end[nid]) for nid, _ in kept
-        if tree.src_start[nid] >= 0
+        (src_start[nid], src_end[nid]) for nid in kept_ids
+        if src_start[nid] >= 0
     ]
     return ExtractResult(
         text=text, spans=spans,

@@ -75,9 +75,9 @@ def parse_html(
     ap_s1 = t.src_end.append
     ct_col = t.comment_type
 
-    def emit(parent: int, ntype: str, name: str = "", attrs=None,
-             content: str = "", ct=None, flags: int = 0,
-             s0: int = -1, s1: int = -1, leaf: bool = False) -> int:
+    def emit(parent, ntype, name="", attrs=None, content="", ct=None,
+             flags=0, s0=-1, s1=-1, leaf=False):
+        # positional-only call convention on the hot path
         nid = len(ttype)
         ap_type(ntype)
         ap_name(name)
@@ -101,14 +101,14 @@ def parse_html(
 
         if ch == "<":
             # --- comment (js:62-77) -----------------------------------
-            if html[pos:pos + 4] == "<!--":
+            if html.startswith("<!--", pos):
                 comment_end = html.find("-->", pos)
                 if comment_end == -1:
                     pos += 1
                     continue
-                emit(current, COMMENT,
-                     content=js_substring(html, pos + 4, comment_end),
-                     ct="html-comment", leaf=True)
+                emit(current, COMMENT, "", None,
+                     js_substring(html, pos + 4, comment_end),
+                     "html-comment", 0, -1, -1, True)
                 pos = comment_end + 3
                 continue
 
@@ -125,8 +125,8 @@ def parse_html(
             ):
                 next_tag = html.find("<", pos + 1)
                 text_end = n if next_tag == -1 else next_tag
-                emit(current, TEXT, content=html[pos:text_end],
-                     s0=pos, s1=text_end, leaf=True)
+                emit(current, TEXT, "", None, html[pos:text_end],
+                     None, 0, pos, text_end, True)
                 pos = text_end
                 continue
 
@@ -158,8 +158,7 @@ def parse_html(
                             or "__EMPVAL__"
                         )
 
-                node = emit(current, TAG_OPEN, name=tag_name,
-                            attrs=attrs)
+                node = emit(current, TAG_OPEN, tag_name, attrs)
 
                 if tag_name == "style":
                     close_pos = html.find("</style>", pos)
@@ -170,8 +169,8 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                         )
                         pos = close_pos + 8  # len('</style>')
-                        emit(current, TAG_CLOSE, name=tag_name,
-                             flags=FLAG_STYLE_BLOCK, leaf=True)
+                        emit(current, TAG_CLOSE, tag_name, None, "",
+                             None, FLAG_STYLE_BLOCK, -1, -1, True)
                         continue
 
                 if tag_name in special_tags and attr_len == 0:
@@ -186,8 +185,8 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                             base=tag_end + 1,
                         )
-                        emit(current, TAG_CLOSE, name=tag_name,
-                             flags=FLAG_SCRIPT_BLOCK, leaf=True)
+                        emit(current, TAG_CLOSE, tag_name, None, "",
+                             None, FLAG_SCRIPT_BLOCK, -1, -1, True)
                         pos = close_pos + len(close_tag)
                         continue
 
@@ -209,13 +208,15 @@ def parse_html(
                 if ttype[p] == TAG_OPEN and tname[p] == tag_name:
                     # close node becomes a SIBLING of the matched open
                     # tag; currentNode pops to the open tag's parent.
-                    emit(tparent[p], TAG_CLOSE, name=tag_name, leaf=True)
+                    emit(tparent[p], TAG_CLOSE, tag_name, None, "",
+                         None, 0, -1, -1, True)
                     current = tparent[p]
                     found = True
                     break
                 p = tparent[p]
             if not found:
-                emit(current, TAG_CLOSE, name=tag_name, leaf=True)
+                emit(current, TAG_CLOSE, tag_name, None, "",
+                     None, 0, -1, -1, True)
             pos = tag_end + 1
             continue
 
@@ -223,8 +224,8 @@ def parse_html(
         next_tag = html.find("<", pos)
         text_end = n if next_tag == -1 else next_tag
         if text_end > pos:
-            emit(current, TEXT, content=html[pos:text_end],
-                 s0=pos, s1=text_end, leaf=True)
+            emit(current, TEXT, "", None, html[pos:text_end],
+                 None, 0, pos, text_end, True)
         pos = text_end
 
     return t

@@ -1,0 +1,92 @@
+"""Property-style kernel tests (no Node needed).
+
+The round-trip guarantee holds only on the well-formed-quoted-attribute
+subset (SURVEY.md §2.2: empty/unquoted attribute values and self-closing
+slashes do NOT round-trip in the reference either), so the generator
+stays inside that subset."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from simple_html_parser_spark.kernel.extract import (  # noqa: E402
+    MAIN_CONTENT, PARITY, extract,
+)
+from simple_html_parser_spark.kernel.serialize import to_html  # noqa: E402
+from simple_html_parser_spark.kernel.tokenizer import (  # noqa: E402
+    VOID_ELEMS, parse_html,
+)
+
+TAGS = ["div", "p", "span", "section", "li", "em"]
+ATTR_NAMES = ["id", "class", "data-x", "href"]
+# quoted values without '"' or '<'
+ATTR_VALUES = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters='"<>', categories=(
+            "L", "N", "P", "S", "Z")),
+    min_size=1, max_size=12)
+TEXT_CONTENT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="<>&",
+                           categories=("L", "N", "P", "Zs")),
+    min_size=1, max_size=30)
+
+
+@st.composite
+def well_formed_html(draw, depth=0):
+    n = draw(st.integers(0, 3 if depth < 3 else 0))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            parts.append(draw(TEXT_CONTENT))
+        elif kind == 1:
+            tag = draw(st.sampled_from(TAGS))
+            # distinct names: duplicates collapse (last wins) in the
+            # reference too, so they're outside the round-trip subset
+            names = draw(st.lists(st.sampled_from(ATTR_NAMES),
+                                  unique=True, max_size=2))
+            attrs = "".join(
+                f' {name}="{draw(ATTR_VALUES)}"' for name in names)
+            inner = draw(well_formed_html(depth=depth + 1))
+            parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
+        else:
+            parts.append(f"<!--{draw(TEXT_CONTENT)}-->")
+    return "".join(parts)
+
+
+@given(well_formed_html())
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_well_formed(html):
+    tree = parse_html(html)
+    assert to_html(tree, 0, True) == html
+
+
+@given(well_formed_html())
+@settings(max_examples=100, deadline=None)
+def test_spans_rebuild_text(html):
+    tree = parse_html(html)
+    for profile in (PARITY, MAIN_CONTENT):
+        res = extract(tree, profile)
+        rebuilt = "".join(html[s:e] for s, e in res.spans)
+        assert rebuilt == res.text
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_never_crashes_on_arbitrary_input(s):
+    tree = parse_html(s)
+    to_html(tree, 0, True)
+    extract(tree, PARITY)
+    extract(tree, MAIN_CONTENT)
+
+
+def test_void_elems_match_reference_list():
+    assert VOID_ELEMS == frozenset(
+        "img br hr input meta link area base col embed param source "
+        "track wbr".split())
