@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .where(F.col("type") == "css-rule")
         .select("url", "css_selector",
                 F.col("css_declarations")["color"].alias("color")))
+    q["nodes_structure_map"] = lambda spark, sf: (
+        parse_nodes(_docs(spark, sf))
+        .select("node_id", "bfs_rank", "depth", "subtree_end")
+        .distinct())
     q["deep_text_nodes"] = lambda spark, sf: (
         parse_nodes(_docs(spark, sf))
         .where((F.col("type") == "text") & (F.col("depth") >= 3))
@@ -267,6 +271,25 @@ def oracle_sql() -> dict[str, str]:
                  + length('related') + length('corpus footer')
                  AS deep_chars
         FROM documents"""
+
+    # the fixed template yields one constant structure for every doc;
+    # distinct() over all docs must collapse to exactly this 40-row map
+    # (pins pre-order ids, BFS ranks, depths, and subtree extents in a
+    # SQL-checkable form; derived once from the kernel and verified
+    # against the reference via goldens)
+    o["nodes_structure_map"] = """
+        SELECT * FROM (VALUES
+        (0,0,0,39),(1,1,1,38),(2,3,2,10),(3,7,3,4),(4,20,4,4),
+        (5,8,3,5),(6,9,3,9),(7,21,4,7),(8,22,4,9),(9,34,5,9),
+        (10,10,3,10),(11,4,2,11),(12,5,2,37),(13,11,3,19),
+        (14,23,4,15),(15,35,5,15),(16,24,4,16),(17,25,4,18),
+        (18,36,5,18),(19,26,4,19),(20,12,3,20),(21,13,3,27),
+        (22,27,4,23),(23,37,5,23),(24,28,4,24),(25,29,4,26),
+        (26,38,5,26),(27,30,4,27),(28,14,3,28),(29,15,3,32),
+        (30,31,4,31),(31,39,5,31),(32,32,4,32),(33,16,3,33),
+        (34,17,3,34),(35,18,3,36),(36,33,4,36),(37,19,3,37),
+        (38,6,2,38),(39,2,1,39)
+        ) AS t(node_id, bfs_rank, depth, subtree_end)"""
 
     o["dedup_exact"] = """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

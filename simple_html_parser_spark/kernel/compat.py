@@ -196,6 +196,24 @@ def _run_mutation(tree: FlatTree, steps: list[dict]) -> dict:
             if closing is None:
                 raise ValueError("no adjacent closing tag")
             M.remove(tree, closing)
+        elif act == "iah_close":
+            closing = M.find_closing_tag(tree, target)
+            if closing is None:
+                raise ValueError("no adjacent closing tag")
+            M.insert_adjacent_html(tree, closing, st["position"],
+                                   st["html"])
+        elif act == "insert_before_close":
+            closing = M.find_closing_tag(tree, target)
+            if closing is None:
+                raise ValueError("no adjacent closing tag")
+            M.insert_before(tree, closing, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
+        elif act == "insert_after_close":
+            closing = M.find_closing_tag(tree, target)
+            if closing is None:
+                raise ValueError("no adjacent closing tag")
+            M.insert_after(tree, closing, M.create_node(
+                tree, st["tag"], st.get("attrs") or {}, st.get("text")))
         elif act == "iah":
             M.insert_adjacent_html(tree, target, st["position"],
                                    st["html"])

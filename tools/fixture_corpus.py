@@ -404,3 +404,50 @@ CASES += [
      "html": "<jhp>x // c\n</jhp><style>.a{b:c}</style>",
      "ops": [{"op": "visualize", "types": True}]},
 ]
+
+CASES += [
+    {"id": "man-close-targets", "html": MAN_PAGE,
+     "ops": [{"op": "mutate", "steps": [
+         {"act": "iah_close", "sel": ".inner", "position": "beforebegin",
+          "html": "<p>CBB</p>"},
+         {"act": "iah_close", "sel": "#wrap", "position": "afterend",
+          "html": "<p>CAE</p>"},
+         {"act": "insert_before_close", "sel": ".a", "tag": "em",
+          "text": "bc"},
+         {"act": "insert_after_close", "sel": ".b", "tag": "em",
+          "text": "ac"},
+     ]}]},
+    {"id": "css-combine-multi-style",
+     "html": "<div>\n    <style>\n        .card { background: white; }"
+             "\n        .button { color: blue; }\n    </style>\n"
+             "    <section>\n        <style>\n            .card "
+             "{ padding: 1rem; }\n            .link "
+             "{ text-decoration: none; }\n        </style>\n"
+             "    </section>\n</div>",
+     "ops": [{"op": "css_to_string", "ctx": 1},
+             {"op": "css_to_string", "ctx": 1,
+              "options": {"combineDeclarations": False}}]},
+    {"id": "css-combine-order",
+     "html": "<style>\n.link { color: blue; }\np { margin: 10px; }\n"
+             ".link { text-decoration: none; }\n.link { font-weight: "
+             "bold; }\np { padding: 5px; }\n</style>",
+     "ops": _CSS_OPS[:4]},
+    {"id": "css-atrule-order-preserved",
+     "html": "<style>\n.foo { color: red; }\n@media (max-width: 500px)"
+             " { .bar { display: block; } }\n.foo { padding: 1rem; }\n"
+             "</style>",
+     "ops": [{"op": "css_to_string"},
+             {"op": "css_to_string",
+              "options": {"combineDeclarations": False}}]},
+    {"id": "css-scope-to",
+     "html": "<style>\n@scope (.card) to (.card-footer) {\n"
+             "    .title { font-weight: bold; }\n    .body { color: "
+             "#333; }\n}\n</style>",
+     "ops": [{"op": "css_to_string"}]},
+    {"id": "css-singleline-atrules",
+     "html": "<style>\n@media (max-width: 600px) { .narrow { width: "
+             "100%; } }\n@keyframes pulse { 50% { opacity: 0.5; } }\n"
+             "</style>",
+     "ops": [{"op": "css_to_string", "options": {"singleLine": True}},
+             {"op": "css_to_string"}]},
+]

@@ -178,6 +178,17 @@ function runMutation(root, steps) {
             case 'remove': target.remove(); break;
             case 'remove_close': closingOf(target).remove(); break;
             case 'iah': target.insertAdjacentHTML(st.position, st.html); break;
+            case 'iah_close':
+                closingOf(target).insertAdjacentHTML(st.position, st.html);
+                break;
+            case 'insert_before_close':
+                closingOf(target).insertBefore(...root.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
+            case 'insert_after_close':
+                closingOf(target).insertAfter(...root.createNode(
+                    st.tag, st.attrs ?? {}, st.text ?? null));
+                break;
             case 'set_attr': target.setAttribute(st.name, st.value); break;
             case 'remove_attr': target.removeAttribute(st.name); break;
             case 'update_attr':
