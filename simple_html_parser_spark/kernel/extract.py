@@ -174,6 +174,8 @@ def _density_filter(
     for nid, _anc in cands:
         block = _nearest(tree, nid, profile.block_tags)
         block_of.append(block)
+        # frozen-spec length = Unicode CODE POINTS (a JS .length would
+        # count astral chars twice; the harness mirror uses Array.from)
         n = len(js_trim(tree.content[nid]))
         text_chars[block] = text_chars.get(block, 0) + n
         link_anc = _nearest(tree, nid, _A)

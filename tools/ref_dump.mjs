@@ -95,7 +95,9 @@ function extractText(root, profile) {
         for (const c of cands) {
             const block = nearestAncestor(c, BLOCK_TAGS);
             blockOf.push(block);
-            const n = c.content.trim().length;
+            // frozen spec counts Unicode CODE POINTS (Python len),
+            // not UTF-16 units — astral chars count once
+            const n = Array.from(c.content.trim()).length;
             textChars.set(block, (textChars.get(block) || 0) + n);
             // link text counts iff an <a> sits between the text node and
             // its block (walk hits 'a' before 'block').
