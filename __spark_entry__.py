@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         D.dedup_minhash_lsh(_raw_docs(spark, sf), threshold=0.30))
     q["dedup_simhash"] = lambda spark, sf: (
         D.dedup_simhash(_raw_docs(spark, sf), max_hamming=3))
+    q["dedup_clusters"] = lambda spark, sf: (
+        D.dedup_clusters(_raw_docs(spark, sf), threshold=0.30))
 
     # ---- similarity / ANN ----
     q["sim_topk"] = lambda spark, sf: S.cosine_topk(
@@ -181,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: T.lang_id(_raw_docs(spark, sf))
     q["lang_distribution"] = lambda spark, sf: T.lang_distribution(
         _raw_docs(spark, sf))
+    q["clean_text"] = lambda spark, sf: T.clean_text(_raw_docs(spark, sf))
 
     # ---- multimodal plumbing ----
     q["binary_meta"] = lambda spark, sf: MM.binary_metadata(
@@ -310,6 +313,42 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30"""
+
+    # connected components via recursive CTE over the same pair graph
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30),
+        edges AS (SELECT doc_a, doc_b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, other) AS (
+            SELECT doc_a, doc_b FROM edges
+            UNION
+            SELECT r.doc_id, e.doc_b FROM reach r
+            JOIN edges e ON e.doc_a = r.other)
+        SELECT doc_id,
+               least(doc_id, min(other)) AS cluster_id
+        FROM reach GROUP BY doc_id"""
+
+    o["clean_text"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '[ \t\n]+', ' ',
+                                             'g'))) AS clean_text
+            FROM documents)
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS clean_len FROM c"""
 
     o["sim_topk"] = """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

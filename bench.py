@@ -129,7 +129,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_links", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "sim_topk", "ann_ivf_topk",
         "token_stats", "quality_score", "doc_fingerprint", "lang_id",
-        "binary_meta", "q1_pricing", "q3_top_orders", "events_topk",
+        "clean_text", "binary_meta", "q1_pricing", "q3_top_orders", "events_topk",
         "part_shipped",
     ]
     trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))

@@ -250,3 +250,52 @@ def dedup_simhash(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    max_shingle_df: int | None = None, max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph →
+    (doc_id, cluster_id) where cluster_id = min doc_id in the
+    component.  Iterative min-label propagation over the edge list
+    (converges in O(log(diameter)) joins; duplicate clusters are
+    near-cliques, so 2-3 iterations in practice).  Only docs that
+    appear in at least one pair are emitted."""
+    pairs = dedup_ngram_jaccard(docs, n, threshold, max_shingle_df) \
+        .select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).distinct().cache()
+
+    labels = (
+        edges.groupBy("doc_a")
+        .agg(F.least(F.min("doc_b"), F.first("doc_a")).alias("label"))
+        .select(F.col("doc_a").alias("doc_id"),
+                F.least("label", "doc_a").alias("cluster_id"))
+    )
+    for _ in range(max_iters):
+        # propagate: new label = min(own, min over neighbours' labels)
+        neigh = (
+            edges.join(labels,
+                       edges.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id",
+                    F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("new_cluster"))
+        )
+        changed = (
+            updated.join(labels, "doc_id")
+            .where(F.col("new_cluster") != F.col("cluster_id")).count()
+        )
+        labels = updated.select(
+            "doc_id", F.col("new_cluster").alias("cluster_id"))
+        if changed == 0:
+            break
+    return labels

@@ -116,3 +116,14 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
     return (docs.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.length("text")).alias("total_chars")))
+
+
+def clean_text(docs: DataFrame) -> DataFrame:
+    """Normalization pass: collapse ASCII whitespace runs, trim,
+    lowercase.  Explicit [ \\t\\n]+ class — Java regex \\s and RE2 \\s
+    differ on VT, so the oracle-parity class is spelled out."""
+    cleaned = F.lower(F.trim(
+        F.regexp_replace("text", "[ \t\n]+", " ")))
+    return docs.select(
+        "doc_id", cleaned.alias("clean_text"),
+        F.length(cleaned).cast("bigint").alias("clean_len"))
