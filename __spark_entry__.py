@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
 from simple_html_parser_spark.operators import dedup as D
+from simple_html_parser_spark.operators import domsql as DS
 from simple_html_parser_spark.operators import multimodal as MM
 from simple_html_parser_spark.operators import relational as R
 from simple_html_parser_spark.operators import similarity as S
@@ -146,6 +147,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parse_nodes(_docs(spark, sf))
         .select("node_id", "bfs_rank", "depth", "subtree_end")
         .distinct())
+    # DataFrame-level selector ops over the nodes view (SURVEY §2.3):
+    # 'nav a' matches node ids 14,17 in the fixed template; '.main'
+    # matches 21 (kernel-derived constants, golden-verified)
+    q["sql_qsa_descendant"] = lambda spark, sf: (
+        DS.descendant_select(
+            parse_nodes(_docs(spark, sf)),
+            DS.is_tag("nav"), DS.is_tag("a")))
+    q["sql_qsa_class"] = lambda spark, sf: (
+        DS.select_nodes(parse_nodes(_docs(spark, sf)),
+                        DS.has_class("main"))
+        .select("url", "node_id", "bfs_rank", "name"))
+    q["sql_attr_count"] = lambda spark, sf: (
+        DS.count_matches_per_doc(
+            parse_nodes(_docs(spark, sf)), DS.has_attr("href"),
+            "n_links"))
     q["deep_text_nodes"] = lambda spark, sf: (
         parse_nodes(_docs(spark, sf))
         .where((F.col("type") == "text") & (F.col("depth") >= 3))
@@ -293,6 +309,20 @@ def oracle_sql() -> dict[str, str]:
         (34,17,3,34),(35,18,3,36),(36,33,4,36),(37,19,3,37),
         (38,6,2,38),(39,2,1,39)
         ) AS t(node_id, bfs_rank, depth, subtree_end)"""
+
+    o["sql_qsa_descendant"] = f"""
+        SELECT {_URL_SQL} AS url, v.node_id, v.bfs_rank
+        FROM documents, (VALUES (14, 23), (17, 25)) AS v(node_id,
+                                                         bfs_rank)"""
+
+    o["sql_qsa_class"] = f"""
+        SELECT {_URL_SQL} AS url, 21 AS node_id, 13 AS bfs_rank,
+               'main' AS name
+        FROM documents"""
+
+    o["sql_attr_count"] = f"""
+        SELECT {_URL_SQL} AS url, CAST(3 AS BIGINT) AS n_links
+        FROM documents"""
 
     o["dedup_exact"] = """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

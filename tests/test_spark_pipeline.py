@@ -124,3 +124,23 @@ def test_multimodal_stub(spark, docs):
     assert len(rows) == 16
     assert all(not r.decoded for r in rows)
     assert all(r.width == r.n_bytes % 640 + 1 for r in rows)
+
+
+def test_giant_page_skew(spark, docs):
+    """One 5 MB page among small ones: salted extraction completes,
+    output is correct, and the giant page cannot balloon a batch (the
+    kernel flushes by bytes)."""
+    from pyspark.sql import Row
+    big_body = "word " * 1_000_000
+    big = spark.createDataFrame([Row(
+        url="giant://1",
+        html=bytearray(
+            (f"<html><body><p>{big_body}</p></body></html>").encode()),
+    )])
+    corpus = docs.limit(100).select("url", "html").unionByName(big)
+    ext = extract_documents(corpus, salt_partitions=8)
+    rows = {r.url: r for r in ext.collect()}
+    assert len(rows) == 101
+    assert rows["giant://1"].extracted_text == big_body
+    assert rows["giant://1"].error is None
+    assert all(r.error is None for r in rows.values())
