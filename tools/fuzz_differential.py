@@ -30,6 +30,15 @@ CSS_BITS = [
     "/* c */", ":root{--v:1px}", ".q{a:rgb(1,2,3);b:url(x.png)}",
     "@import url('u.css');", "a,b c{x:y}", ".n{ .m{q:r} s:t }",
     "@layer l;", "broken{", "}stray", "p:not(.x){y:z}", "", "  ",
+    ".x::after{content:':'}", "a::before{b:c}", "::x{y:z}",
+    "@import broken-no-semi", "@charset", "@{x:y}", "@media{a{b:c}}",
+    "h1 { x: a(b(c)) d; }", ".p { q: (unbalanced; r: s }",
+    "sel(ector){a:b}", "a{b:c;;d:e}", "a{:novalue;x:}", "a{b}",
+    "@supports (display: grid) and (gap: 1px) { x { y: z } }",
+    # NB: "{orphan:block}" is excluded — a top-level '{' with an empty
+    # selector INFINITE-LOOPS the reference (css-parser.js:384 null
+    # return without advancing); our parser advances past it instead.
+    "a{b:c}}}extra", "a:hover{x:y}",
 ]
 JS_BITS = [
     "var x = 1;", "// line\n", "/* block */", 'var s = "a//b";',
