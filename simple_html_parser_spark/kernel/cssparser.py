@@ -56,8 +56,10 @@ def parse_css_into(
     pos = 0
     n = len(css)
     top_level_flag = FLAG_CSS_TOP if top_flag else 0
-    # Stack of open block containers; index 0 is the graft parent.
-    stack = [parent]
+    # Stack of (container id, its declarations dict or None); index 0
+    # is the graft parent.  The dict rides the stack so declarations
+    # avoid two SparseColumn lookups each (hot on style-heavy pages).
+    stack = [(parent, None)]
 
     def skip_ws(p: int) -> int:
         m = WS_RUN.match(css, p)
@@ -65,7 +67,7 @@ def parse_css_into(
 
     def add_top(ntype: str, **kw) -> int:
         """Append under the current container, flagging top-level nodes."""
-        container = stack[-1]
+        container = stack[-1][0]
         nid = tree.add_node(ntype, container, **kw)
         if len(stack) == 1:
             tree.flags[nid] |= top_level_flag
@@ -124,12 +126,15 @@ def parse_css_into(
             pos = skip_ws(pos)
             if pos < n and css[pos] == "{":
                 pos += 1
-                stack.append(at_node)
+                stack.append((at_node, None))
             continue
 
         if inside_block and not _is_nested_rule(css, pos, n):
             # Declaration (css-parser.js:298-355).
-            pos = _parse_declaration(tree, stack[-1], css, pos, n)
+            container, decls = stack[-1]
+            pos, decls = _parse_declaration(
+                tree, container, decls, css, pos, n)
+            stack[-1] = (container, decls)
             continue
 
         # Rule: selector until '{' at paren depth 0 (css-parser.js:362-396).
@@ -145,9 +150,10 @@ def parse_css_into(
             continue
         rule = add_top(CSS_RULE, name=selector)
         tree.css_selector[rule] = selector
-        tree.css_decls[rule] = {}
+        rule_decls: dict = {}
+        tree.css_decls[rule] = rule_decls
         pos += 1  # skip '{'
-        stack.append(rule)
+        stack.append((rule, rule_decls))
 
 
 def _scan_to_brace(css: str, pos: int, n: int) -> int:
@@ -197,20 +203,23 @@ def _is_nested_rule(css: str, pos: int, n: int) -> bool:
 
 
 def _parse_declaration(
-    tree: FlatTree, container: int, css: str, pos: int, n: int
-) -> int:
+    tree: FlatTree, container: int, decls: dict | None,
+    css: str, pos: int, n: int
+):
     prop_start = pos
     m = PROP_END.search(css, pos)
     pos = m.start() if m else n
     prop = js_trim(css[prop_start:pos])
 
     if pos >= n or css[pos] != ":":
-        # Invalid declaration: skip to ';' or '}' (css-parser.js:307-316).
+        # Invalid declaration: skip to ';' or '}' (css-parser.js:307-316)
+        # — returns BEFORE cssDeclarations init, so an at-rule block
+        # with only invalid declarations keeps css_decls = None
         m = STMT_END.search(css, pos)
         pos = m.start() if m else n
         if pos < n and css[pos] == ";":
             pos += 1
-        return pos
+        return pos, decls
 
     pos += 1  # skip ':'
     wm = WS_RUN.match(css, pos)
@@ -236,11 +245,16 @@ def _parse_declaration(
         pos = i + 1
     value = js_trim(css[value_start:pos])
 
-    if tree.css_decls[container] is None:
-        tree.css_decls[container] = {}
+    # init point matches the reference exactly (css-parser.js:342-344):
+    # reached only for ':'-bearing declarations, even empty ones
+    if decls is None:
+        decls = tree.css_decls[container]
+        if decls is None:
+            decls = {}
+            tree.css_decls[container] = decls
     if prop and value:
-        tree.css_decls[container][prop] = value
+        decls[prop] = value
 
     if pos < n and css[pos] == ";":
         pos += 1
-    return pos
+    return pos, decls
