@@ -451,3 +451,28 @@ CASES += [
      "ops": [{"op": "css_to_string", "options": {"singleLine": True}},
              {"op": "css_to_string"}]},
 ]
+
+CASES += [
+    # custom specialTags configs (constructor arg, js:37): script AS a
+    # special tag enables the JS-comment submachine for it; style in
+    # the list is shadowed by the style branch (checked first, js:127)
+    {"id": "special-script-config",
+     "html": "<script>var x = 1; // inline\n/* block */ if(a<b){}</script>"
+             "<p>after</p>",
+     "special_tags": ["script"],
+     "ops": [{"op": "comments"}, {"op": "nodes_by_type", "name": "text"},
+             {"op": "find_by_type", "name": "script-block"}]},
+    {"id": "special-script-with-attrs",
+     "html": '<script type="module">// not special (has attrs)\n'
+             "</script>",
+     "special_tags": ["script"],
+     "ops": [{"op": "comments"}, {"op": "qsa", "sel": "script"}]},
+    {"id": "special-style-shadowed",
+     "html": "<style>.a{b:c}</style><jhp>// x\n</jhp>",
+     "special_tags": ["style", "jhp"],
+     "ops": [{"op": "css_to_string"}, {"op": "comments"}]},
+    {"id": "special-unterminated",
+     "html": "<jhp>var x = 1; // never closed",
+     "ops": [{"op": "find_by_type", "name": "script-block"},
+             {"op": "nodes_by_type", "name": "text"}]},
+]
