@@ -46,8 +46,14 @@ VOID_ELEMS = frozenset((
 DEFAULT_SPECIAL_TAGS = ("jhp", "s_")
 
 
+class NodeCapExceeded(RuntimeError):
+    """Raised when a document parses into more nodes than max_nodes —
+    the per-document safety valve for pathological crawl pages."""
+
+
 def parse_html(
-    html: str, special_tags: tuple[str, ...] = DEFAULT_SPECIAL_TAGS
+    html: str, special_tags: tuple[str, ...] = DEFAULT_SPECIAL_TAGS,
+    max_nodes: int | None = None,
 ) -> FlatTree:
     """Parse an HTML string into a FlatTree (root is node 0).
 
@@ -96,7 +102,12 @@ def parse_html(
         tchildren[parent].append(nid)
         return nid
 
+    cap = max_nodes if max_nodes is not None else (1 << 62)
+
     while pos < n:
+        if len(ttype) > cap:
+            raise NodeCapExceeded(
+                f"document exceeds {max_nodes} nodes at byte {pos}")
         ch = html[pos]
 
         if ch == "<":

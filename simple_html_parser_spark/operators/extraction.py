@@ -60,6 +60,11 @@ def _decode(b) -> str:
     return b if isinstance(b, str) else ""
 
 
+# per-document node-count safety valve (10^12-doc tails contain
+# pathological pages; a capped doc becomes an error row, not an OOM)
+MAX_NODES_PER_DOC = 5_000_000
+
+
 def _make_extract_fn(profile: ExtractionProfile):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cols = {name: [] for name in _PA_SCHEMA.names}
@@ -83,7 +88,7 @@ def _make_extract_fn(profile: ExtractionProfile):
                 n_bytes = len(raw) if raw is not None else 0
                 t0 = time.perf_counter()
                 try:
-                    tree = parse_html(html)
+                    tree = parse_html(html, max_nodes=MAX_NODES_PER_DOC)
                     res = extract(tree, profile)
                     ms = (time.perf_counter() - t0) * 1e3
                     cols["url"].append(url)
