@@ -380,6 +380,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, clean_text,
                CAST(length(clean_text) AS BIGINT) AS clean_len FROM c"""
 
+    # MinHash-LSH with exact-Jaccard verification: output is the subset
+    # of exact pairs that share an LSH band; at 8 bands x 4 rows and
+    # tau=0.30 recall is 100% on this corpus (verified at sf0.01 AND
+    # sf0.1), so the oracle is the exact pair set
+    o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
     o["sim_topk"] = """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,
@@ -531,7 +537,20 @@ def oracle_sql() -> dict[str, str]:
         FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
         GROUP BY p.p_partkey, p.p_name"""
 
-    # dedup_minhash_lsh / dedup_simhash / image_features_stub:
-    # intentionally no oracle (probabilistic bucketing / stubbed decode)
-    # → driver records rows-only checks.
+    # image stub: the deterministic fake dims are closed-form over the
+    # rendered page bytes, so even the stub is oracle-checkable
+    o["image_features_stub"] = f"""
+        WITH b AS (SELECT {_URL_SQL} AS url,
+                          octet_length(encode({render})) AS n
+                   FROM documents)
+        SELECT url, CAST(n AS BIGINT) AS n_bytes,
+               CAST(n % 640 + 1 AS INTEGER) AS width,
+               CAST(n % 480 + 1 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               false AS decoded,
+               'stub-decoder: deterministic fake dims' AS note
+        FROM b"""
+
+    # dedup_simhash: intentionally no oracle (DuckDB has no
+    # xxhash64-compatible hash) → driver records a rows-only check.
     return o

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from .jsre import WS_ONE, WS_PLUS as WS_RUN, js_trim
+from .jsre import WS_PLUS as WS_RUN, js_trim
 
 # C-level scanners (regex searches skip runs of benign chars instead of
 # per-char Python iteration — ~8x on style-heavy pages; semantics are
