@@ -102,6 +102,35 @@ def parse_html(
         tchildren[parent].append(nid)
         return nid
 
+    def emit_text(parent, content, s0, s1):
+        # specialized hot-path emitters: positional fixed shapes beat
+        # the generic emit's default-arg binding (~8% on text-dense
+        # pages; text+close are ~65% of nodes)
+        nid = len(ttype)
+        ap_type(TEXT)
+        ap_name("")
+        ap_attrs(None)
+        ap_content(content)
+        ap_parent(parent)
+        ap_children(EMPTY_CHILDREN)
+        ap_flags(0)
+        ap_s0(s0)
+        ap_s1(s1)
+        tchildren[parent].append(nid)
+
+    def emit_close(parent, name, flags=0):
+        nid = len(ttype)
+        ap_type(TAG_CLOSE)
+        ap_name(name)
+        ap_attrs(None)
+        ap_content("")
+        ap_parent(parent)
+        ap_children(EMPTY_CHILDREN)
+        ap_flags(flags)
+        ap_s0(-1)
+        ap_s1(-1)
+        tchildren[parent].append(nid)
+
     cap = max_nodes if max_nodes is not None else (1 << 62)
 
     while pos < n:
@@ -136,8 +165,7 @@ def parse_html(
             ):
                 next_tag = html.find("<", pos + 1)
                 text_end = n if next_tag == -1 else next_tag
-                emit(current, TEXT, "", None, html[pos:text_end],
-                     None, 0, pos, text_end, True)
+                emit_text(current, html[pos:text_end], pos, text_end)
                 pos = text_end
                 continue
 
@@ -180,8 +208,7 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                         )
                         pos = close_pos + 8  # len('</style>')
-                        emit(current, TAG_CLOSE, tag_name, None, "",
-                             None, FLAG_STYLE_BLOCK, -1, -1, True)
+                        emit_close(current, tag_name, FLAG_STYLE_BLOCK)
                         continue
 
                 if tag_name in special_tags and attr_len == 0:
@@ -196,8 +223,7 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                             base=tag_end + 1,
                         )
-                        emit(current, TAG_CLOSE, tag_name, None, "",
-                             None, FLAG_SCRIPT_BLOCK, -1, -1, True)
+                        emit_close(current, tag_name, FLAG_SCRIPT_BLOCK)
                         pos = close_pos + len(close_tag)
                         continue
 
@@ -219,15 +245,13 @@ def parse_html(
                 if ttype[p] == TAG_OPEN and tname[p] == tag_name:
                     # close node becomes a SIBLING of the matched open
                     # tag; currentNode pops to the open tag's parent.
-                    emit(tparent[p], TAG_CLOSE, tag_name, None, "",
-                         None, 0, -1, -1, True)
+                    emit_close(tparent[p], tag_name)
                     current = tparent[p]
                     found = True
                     break
                 p = tparent[p]
             if not found:
-                emit(current, TAG_CLOSE, tag_name, None, "",
-                     None, 0, -1, -1, True)
+                emit_close(current, tag_name)
             pos = tag_end + 1
             continue
 
@@ -235,8 +259,7 @@ def parse_html(
         next_tag = html.find("<", pos)
         text_end = n if next_tag == -1 else next_tag
         if text_end > pos:
-            emit(current, TEXT, "", None, html[pos:text_end],
-                 None, 0, pos, text_end, True)
+            emit_text(current, html[pos:text_end], pos, text_end)
         pos = text_end
 
     return t

@@ -184,6 +184,19 @@ def run_fuzz(n: int, seed: int) -> int:
                   f"on {case['html']!r}")
             continue
         mine = run_case(case)
+        # Python-side invariant: extraction spans rebuild the text
+        # byte-for-byte from the source (covers special-tag offsets)
+        from simple_html_parser_spark.kernel.extract import (
+            PARITY, extract,
+        )
+        from simple_html_parser_spark.kernel.tokenizer import parse_html
+        _t = parse_html(case["html"])
+        _r = extract(_t, PARITY)
+        _rebuilt = "".join(case["html"][a:b] for a, b in _r.spans)
+        if _rebuilt != _r.text:
+            failures += 1
+            print(f"FAIL case {case['id']} (spans): {case['html']!r}")
+            continue
         # error results: compare PRESENCE only and stop at the first
         # (messages differ across runtimes and the tree state after a
         # mid-operation crash is partially mutated on both sides)
