@@ -14,7 +14,22 @@ parse→extract pipeline byte-for-byte without parsing any HTML itself.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+# Executor Python workers resolve imports via the PYTHONPATH they
+# inherit from the driver process — make the package importable even
+# when the driver runs from another cwd (workers don't share the
+# driver's sys.path mutations).
+_ROOT = str(Path(__file__).resolve().parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+if _ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

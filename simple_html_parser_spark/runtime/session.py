@@ -10,6 +10,7 @@ cluster the same code ships via ``spark-submit --py-files
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,14 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = _parallelism_of(master) or 32
+
+    # ensure executor python workers can import this package regardless
+    # of the driver's cwd (workers inherit the driver's PYTHONPATH env)
+    pkg_root = str(Path(__file__).resolve().parents[2])
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH") else pkg_root)
 
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
