@@ -95,6 +95,23 @@ _SHINGLES_SQL = (
     "ELSE [array_to_string(t, ' ')] END)"
 )
 
+# exploded shingles WITH the auto df-cut (mirror of
+# dedup._shingle_exploded(max_shingle_df="auto"): drop shingles present
+# in more than max(AUTO_DF_FLOOR, AUTO_DF_FRACTION·N) docs — boilerplate
+# cut, required for bounded join fan-out at scale).  Ends by defining
+# CTE ``exf(doc_id, sh)``.
+_EXF_CTES = f"""
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        shl AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+        hot AS (SELECT sh FROM ex GROUP BY sh
+                HAVING count(*) > greatest(
+                    CAST({D.AUTO_DF_FLOOR} AS BIGINT),
+                    CAST(floor({D.AUTO_DF_FRACTION}
+                         * (SELECT count(*) FROM documents)) AS BIGINT))),
+        exf AS (SELECT e.doc_id, e.sh FROM ex e
+                ANTI JOIN hot h USING (sh))"""
+
 # ---------------------------------------------------------------------------
 # spark-side helpers
 
@@ -201,8 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
         nprobe=2)
+    # τ=0.4: the synthetic embeddings max out at cos≈0.47 (sf0.01) /
+    # 0.51 (sf0.1) within a label bucket — 0.8 made the check vacuous
+    # (0 rows both sides, VERDICT r01 item 6); 0.4 yields 5 / 86 pairs
     q["embedding_dedup"] = lambda spark, sf: S.embedding_knn_dedup(
-        load_table(spark, sf, "embeddings"), threshold=0.8)
+        load_table(spark, sf, "embeddings"), threshold=0.4)
 
     # ---- text analysis ----
     q["token_stats"] = lambda spark, sf: T.token_count_cols(
@@ -344,13 +364,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY text"""
 
     o["dedup_ngram_jaccard"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
-        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        WITH {_EXF_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
@@ -361,14 +379,11 @@ def oracle_sql() -> dict[str, str]:
 
     # connected components via recursive CTE over the same pair graph
     o["dedup_clusters"] = f"""
-        WITH RECURSIVE
-        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-        sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
-        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        WITH RECURSIVE {_EXF_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
         pairs AS (
             SELECT doc_a, doc_b FROM inter
@@ -440,7 +455,7 @@ def oracle_sql() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.8"""
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
 
     o["token_stats"] = f"""
         WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks
@@ -501,9 +516,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scores)
         SELECT doc_id, lang AS pred_lang, hits FROM ranked WHERE rk = 1"""
 
+    # CAST: DuckDB sum() returns HUGEINT; Spark's is BIGINT — the
+    # driver's value-hash is type-sensitive (VERDICT r01 item 2)
     o["lang_distribution"] = """
         SELECT lang, count(*) AS n_docs,
-               sum(length(text)) AS total_chars
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang"""
 
     o["binary_meta"] = f"""

@@ -70,19 +70,53 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+# "auto" df-cut: a shingle present in more than max(AUTO_DF_FLOOR,
+# AUTO_DF_FRACTION * corpus_size) documents is boilerplate (site chrome,
+# license banners) — it contributes O(df^2) join pairs while carrying no
+# near-dup signal.  Corpus stats justify the floor: the synthetic corpus
+# maxes out at df=25 on 5000 docs (0.5%), so the cut only fires on
+# genuinely viral shingles.  Mirrored EXACTLY in the DuckDB oracles.
+AUTO_DF_FLOOR = 50
+AUTO_DF_FRACTION = 0.01
+
+
+def _hot_shingles(docs: DataFrame, n: int,
+                  max_shingle_df: int | str | None,
+                  exploded: DataFrame | None = None) -> DataFrame | None:
+    """The boilerplate-shingle list for the df-cut (None = no cut).
+    Small by construction (Zipf head), so callers broadcast it."""
+    if not max_shingle_df:
+        return None
+    ex = exploded if exploded is not None else _exploded_shingles(docs, n)
+    if max_shingle_df == "auto":
+        # fully declarative relative cut: no driver-side count action —
+        # the 1-row corpus count is broadcast into the df filter
+        total = docs.agg(F.count("*").alias("_n_docs"))
+        return (ex.groupBy("sh").count()
+                .crossJoin(F.broadcast(total))
+                .where(F.col("count") > F.greatest(
+                    F.lit(AUTO_DF_FLOOR).cast("bigint"),
+                    F.floor(F.col("_n_docs") * AUTO_DF_FRACTION)
+                    .cast("bigint")))
+                .select("sh"))
+    return (ex.groupBy("sh").count()
+            .where(F.col("count") > max_shingle_df).select("sh"))
+
+
 def _shingle_exploded(docs: DataFrame, n: int,
-                      max_shingle_df: int | None) -> DataFrame:
+                      max_shingle_df: int | str | None,
+                      hot: DataFrame | None = None) -> DataFrame:
     ex = _exploded_shingles(docs, n)
-    if max_shingle_df:
-        hot = (ex.groupBy("sh").count()
-               .where(F.col("count") > max_shingle_df).select("sh"))
+    if hot is None:
+        hot = _hot_shingles(docs, n, max_shingle_df)
+    if hot is not None:
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     return ex
 
 
 def dedup_ngram_jaccard(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard pairs ≥ threshold:
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -119,14 +153,18 @@ def dedup_ngram_jaccard(
 
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 32,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i) — all JVM-side array expressions."""
+    xxhash64(shingle, seed=i) — all JVM-side array expressions.
+    ``exploded`` lets the caller share one (doc_id, sh) frame across
+    stages (dedup_minhash_lsh persists it and reuses it for
+    verification)."""
     # explode → k min-aggregates → reassemble.  One shuffle on doc_id
     # with full map-side combine; k nested array-transforms per row
     # would instead build a codegen-busting expression tree (measured
     # 78s vs ~4s at sf0.01).
-    ex = _exploded_shingles(docs, n)
+    ex = exploded if exploded is not None else _exploded_shingles(docs, n)
     aggs = [
         F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -141,6 +179,7 @@ def minhash_signatures(
 def dedup_minhash_lsh(
     docs: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8,
     threshold: float = 0.8, max_bucket: int = 64,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash banding: docs sharing any (band, band-signature) bucket
     become candidates; candidates are verified with EXACT n-gram
@@ -148,9 +187,30 @@ def dedup_minhash_lsh(
     the band/row choice — 8 bands × 4 rows has >99.9% recall at τ=0.8).
 
     At scale this replaces the all-shingle self-join with a bucket
-    join whose fan-out is capped (``max_bucket``)."""
+    join whose fan-out is capped (``max_bucket``), and — critically —
+    verification touches ONLY candidate pairs: shingle sets are
+    semi-joined down to candidate docs, then each candidate pair
+    computes intersection/union sizes from the two per-doc shingle
+    arrays.  The full shingle self-join never appears in the plan
+    (cost: O(Σ bucket²) candidates + O(|shingles|) per verified pair,
+    vs O(Σ df(sh)²) for the exact form)."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes)
+    # ONE tokenize+shingle pass over the corpus, persisted; the hot
+    # list (df-cut), the signatures, and the candidate verification
+    # sets are all cheap derivations of it.  Tokenization is the
+    # dominant per-byte cost, so it must not run 3x.  MEMORY_AND_DISK:
+    # at scale the exploded frame spills rather than recomputing.
+    ex_raw = _exploded_shingles(docs, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    hot = _hot_shingles(docs, n, max_shingle_df, exploded=ex_raw)
+    ex = ex_raw if hot is None \
+        else ex_raw.join(F.broadcast(hot), "sh", "left_anti")
+    # signatures: small result (doc_id + k longs), persisted so the
+    # banded self-join doesn't aggregate twice
+    sigs = minhash_signatures(docs, n, num_hashes, exploded=ex) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -163,10 +223,10 @@ def dedup_minhash_lsh(
     ).select("doc_id", "bb.band", "bb.bsig")
 
     if max_bucket:
-        hot = (banded.groupBy("band", "bsig").count()
-               .where(F.col("count") > max_bucket)
-               .select("band", "bsig"))
-        banded = banded.join(F.broadcast(hot), ["band", "bsig"],
+        hot_buckets = (banded.groupBy("band", "bsig").count()
+                       .where(F.col("count") > max_bucket)
+                       .select("band", "bsig"))
+        banded = banded.join(F.broadcast(hot_buckets), ["band", "bsig"],
                              "left_anti")
 
     a = banded.alias("a")
@@ -178,10 +238,39 @@ def dedup_minhash_lsh(
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact = dedup_ngram_jaccard(docs, n, threshold)
-    return cands.join(exact, ["doc_a", "doc_b"]) \
+    # candidate-restricted exact-Jaccard verification: shingle sets of
+    # candidate docs only (left_semi prune on the persisted exploded
+    # frame), one array_intersect per candidate pair.  NO all-pairs
+    # shingle self-join anywhere in the plan.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # verification sets come from the SAME persisted shingle frame —
+    # semi-join prune to candidate docs, then collect per-doc sets
+    sets = (
+        ex.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.size("shs_a") + F.size("shs_b")
+                       - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -254,27 +343,43 @@ def dedup_simhash(
 
 def dedup_clusters(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | None = None, max_iters: int = 20,
+    max_shingle_df: int | str | None = "auto", max_iters: int = 20,
+    pairs: DataFrame | None = None, source: str = "lsh",
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph →
     (doc_id, cluster_id) where cluster_id = min doc_id in the
     component.  Iterative min-label propagation over the edge list
     (converges in O(log(diameter)) joins; duplicate clusters are
     near-cliques, so 2-3 iterations in practice).  Only docs that
-    appear in at least one pair are emitted."""
-    pairs = dedup_ngram_jaccard(docs, n, threshold, max_shingle_df) \
-        .select("doc_a", "doc_b")
+    appear in at least one pair are emitted.
+
+    Scale shape: pairs come from ``dedup_minhash_lsh`` by default
+    (bucketed candidates + candidate-restricted verification — never an
+    all-pairs shingle join; ``source="exact"`` is the oracle form, same
+    output when LSH recall is 1.0, which holds at τ≤0.8 with 8×4
+    banding on this corpus — verified vs the DuckDB recursive-CTE
+    oracle at sf0.01 and sf0.1).  Each iteration ``localCheckpoint``s
+    the label frame so iteration k's plan does NOT contain iterations
+    1..k-1's joins, and the convergence count (a driver action) runs
+    only every 2nd iteration over the already-materialized frame."""
+    if pairs is None:
+        fn = dedup_ngram_jaccard if source == "exact" else dedup_minhash_lsh
+        pairs = fn(docs, n=n, threshold=threshold,
+                   max_shingle_df=max_shingle_df)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))).distinct().cache()
+                     F.col("doc_a").alias("doc_b"))).distinct() \
+        .localCheckpoint()
 
     labels = (
         edges.groupBy("doc_a")
         .agg(F.least(F.min("doc_b"), F.first("doc_a")).alias("label"))
         .select(F.col("doc_a").alias("doc_id"),
                 F.least("label", "doc_a").alias("cluster_id"))
+        .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # propagate: new label = min(own, min over neighbours' labels)
         neigh = (
             edges.join(labels,
@@ -284,18 +389,27 @@ def dedup_clusters(
         updated = (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
-                "doc_id",
+                labels.doc_id,
                 F.least(
-                    "cluster_id",
-                    F.coalesce("nmin", F.col("cluster_id"))
+                    labels.cluster_id,
+                    F.coalesce("nmin", labels.cluster_id)
                 ).alias("new_cluster"))
         )
-        changed = (
-            updated.join(labels, "doc_id")
-            .where(F.col("new_cluster") != F.col("cluster_id")).count()
-        )
-        labels = updated.select(
-            "doc_id", F.col("new_cluster").alias("cluster_id"))
-        if changed == 0:
-            break
+        # truncate lineage: the next iteration builds on materialized
+        # partitions, not on a plan tree containing every prior join
+        new_labels = updated.select(
+            "doc_id", F.col("new_cluster").alias("cluster_id")) \
+            .localCheckpoint()
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels

@@ -165,60 +165,87 @@ _PA_NODES = pa.schema([
 ])
 
 
-def _nodes_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        cols = {name: [] for name in _PA_NODES.names}
-        for url, raw in zip(urls, htmls):
-            try:
-                t = parse_html(_decode(raw))
-            except Exception:  # noqa: BLE001
-                continue
-            end = t.subtree_end()
-            n = len(t.type)
-            bfs_rank = [0] * n
-            for rank, nid in enumerate(t.bfs_order(0)):
-                bfs_rank[nid] = rank
-            depth = [0] * n
-            for nid in range(1, n):
-                depth[nid] = depth[t.parent[nid]] + 1
-            for nid in range(n):
-                attrs = t.attrs[nid]
-                decls = t.css_decls[nid]
-                cols["url"].append(url)
-                cols["node_id"].append(nid)
-                cols["parent_id"].append(t.parent[nid])
-                cols["subtree_end"].append(end[nid])
-                cols["bfs_rank"].append(bfs_rank[nid])
-                cols["depth"].append(depth[nid])
-                cols["type"].append(t.type[nid])
-                cols["name"].append(t.name[nid])
-                cols["attrs"].append(
-                    list(attrs.items()) if attrs is not None else None)
-                cols["content"].append(t.content[nid])
-                cols["comment_type"].append(t.comment_type[nid])
-                cols["style_block"].append(t.is_style_block(nid))
-                cols["script_block"].append(t.is_script_block(nid))
-                cols["css_selector"].append(t.css_selector[nid])
-                cols["css_name"].append(t.css_name[nid])
-                cols["css_params"].append(t.css_params[nid])
-                cols["css_declarations"].append(
-                    list(decls.items()) if decls is not None else None)
-                cols["src_start"].append(t.src_start[nid])
-                cols["src_end"].append(t.src_end[nid])
-        if cols["url"]:
-            yield pa.RecordBatch.from_pydict(
-                {k: pa.array(v, type=_PA_NODES.field(k).type)
-                 for k, v in cols.items()},
-                schema=_PA_NODES)
+def _make_nodes_fn(max_nodes: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols = {name: [] for name in _PA_NODES.names}
+            for url, raw in zip(urls, htmls):
+                try:
+                    t = parse_html(_decode(raw), max_nodes=max_nodes)
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    # NEVER drop a document silently: at 10^12 docs a
+                    # pathological page must leave a trace.  One marker
+                    # row (type='error', content=message) per failed doc.
+                    cols["url"].append(url)
+                    cols["node_id"].append(0)
+                    cols["parent_id"].append(-1)
+                    cols["subtree_end"].append(0)
+                    cols["bfs_rank"].append(0)
+                    cols["depth"].append(0)
+                    cols["type"].append("error")
+                    cols["name"].append(None)
+                    cols["attrs"].append(None)
+                    cols["content"].append(f"{type(e).__name__}: {e}")
+                    cols["comment_type"].append(None)
+                    cols["style_block"].append(False)
+                    cols["script_block"].append(False)
+                    cols["css_selector"].append(None)
+                    cols["css_name"].append(None)
+                    cols["css_params"].append(None)
+                    cols["css_declarations"].append(None)
+                    cols["src_start"].append(0)
+                    cols["src_end"].append(0)
+                    continue
+                end = t.subtree_end()
+                n = len(t.type)
+                bfs_rank = [0] * n
+                for rank, nid in enumerate(t.bfs_order(0)):
+                    bfs_rank[nid] = rank
+                depth = [0] * n
+                for nid in range(1, n):
+                    depth[nid] = depth[t.parent[nid]] + 1
+                for nid in range(n):
+                    attrs = t.attrs[nid]
+                    decls = t.css_decls[nid]
+                    cols["url"].append(url)
+                    cols["node_id"].append(nid)
+                    cols["parent_id"].append(t.parent[nid])
+                    cols["subtree_end"].append(end[nid])
+                    cols["bfs_rank"].append(bfs_rank[nid])
+                    cols["depth"].append(depth[nid])
+                    cols["type"].append(t.type[nid])
+                    cols["name"].append(t.name[nid])
+                    cols["attrs"].append(
+                        list(attrs.items()) if attrs is not None else None)
+                    cols["content"].append(t.content[nid])
+                    cols["comment_type"].append(t.comment_type[nid])
+                    cols["style_block"].append(t.is_style_block(nid))
+                    cols["script_block"].append(t.is_script_block(nid))
+                    cols["css_selector"].append(t.css_selector[nid])
+                    cols["css_name"].append(t.css_name[nid])
+                    cols["css_params"].append(t.css_params[nid])
+                    cols["css_declarations"].append(
+                        list(decls.items()) if decls is not None else None)
+                    cols["src_start"].append(t.src_start[nid])
+                    cols["src_end"].append(t.src_end[nid])
+            if cols["url"]:
+                yield pa.RecordBatch.from_pydict(
+                    {k: pa.array(v, type=_PA_NODES.field(k).type)
+                     for k, v in cols.items()},
+                    schema=_PA_NODES)
+
+    return fn
 
 
-def parse_nodes(df: DataFrame, salt_partitions: int | None = None
-                ) -> DataFrame:
+def parse_nodes(df: DataFrame, salt_partitions: int | None = None,
+                max_nodes: int = MAX_NODES_PER_DOC) -> DataFrame:
     """documents(url, html) → one row per SOM node (FIXTURES.md §3) —
-    the SQL-queryable tree view used for oracle-checked operators."""
+    the SQL-queryable tree view used for oracle-checked operators.
+    Unparseable / over-``max_nodes`` docs yield one type='error' marker
+    row (silent data loss at 10^12 docs is not acceptable)."""
     pruned = df.select("url", "html")
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
-    return pruned.mapInArrow(_nodes_fn, NODES_SCHEMA)
+    return pruned.mapInArrow(_make_nodes_fn(max_nodes), NODES_SCHEMA)

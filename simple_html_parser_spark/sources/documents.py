@@ -20,6 +20,8 @@ Two input shapes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,7 +46,17 @@ HTML_TEMPLATE = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fmt: str | None = None) -> DataFrame:
+    """Table seam.  Production shape is an Iceberg catalog table
+    (``fmt="iceberg"`` / SPARK_GRAFT_TABLE_FORMAT=iceberg reads
+    ``<sf_dir>.<name>`` as a catalog identifier — partition pruning and
+    snapshot isolation come from the Iceberg source); this container
+    has no Iceberg runtime, so the default is the parquet fallback over
+    the driver's testdata layout."""
+    fmt = fmt or os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(f"{sf_dir}.{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
