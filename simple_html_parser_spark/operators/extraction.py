@@ -139,6 +139,54 @@ def extract_main_content(df: DataFrame, **kw) -> DataFrame:
     return extract_documents(df, profile=MAIN_CONTENT, **kw)
 
 
+# ---- serialization round-trip ------------------------------------------------
+
+ROUNDTRIP_SCHEMA = "url string, rt_len bigint, rt_sha256 string, error string"
+
+_PA_RT = pa.schema([
+    ("url", pa.string()), ("rt_len", pa.int64()),
+    ("rt_sha256", pa.string()), ("error", pa.string()),
+])
+
+
+def _roundtrip_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import hashlib
+
+    from ..kernel.serialize import to_html
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_RT.names}
+        for url, raw in zip(urls, htmls):
+            cols["url"].append(url)
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+                out = to_html(t).encode("utf-8")
+                cols["rt_len"].append(len(out))
+                cols["rt_sha256"].append(hashlib.sha256(out).hexdigest())
+                cols["error"].append(None)
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                cols["rt_len"].append(0)
+                cols["rt_sha256"].append(None)
+                cols["error"].append(f"{type(e).__name__}: {e}")
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_RT.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_RT)
+
+
+def roundtrip_html(df: DataFrame) -> DataFrame:
+    """documents(url, html) → (url, rt_len, rt_sha256): length and
+    sha256 of serialize.to_html(parse_html(html)) — pins S1/S5/C12-C15
+    under a byte-level oracle (the reference guarantees byte round-trip
+    for the quoted-attribute subset, reference test/parser.test.js
+    round-trip cases; for jhp pages the serialized form is itself a
+    fixed template, see sources.documents.TPL_SPECIAL_SERIALIZED)."""
+    return df.select("url", "html").mapInArrow(_roundtrip_fn,
+                                               ROUNDTRIP_SCHEMA)
+
+
 # ---- exploded nodes view ----------------------------------------------------
 
 NODES_SCHEMA = (

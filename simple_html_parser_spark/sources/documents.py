@@ -46,6 +46,68 @@ HTML_TEMPLATE = (
 )
 
 
+# --- oracle-corpus variant templates (VERDICT r01 item 4) -----------------
+# Each exercises tokenizer branches the main template cannot, with a
+# CONSTANT node structure for any substitution (verified against the
+# reference via tools/ref_dump.mjs for diverse samples; structure maps
+# in __spark_entry__ oracles are derived from the kernel and pinned).
+#
+# voids: T3 non-tag '<' rescue, T7 void elements (img/hr/input), a
+# self-closing-style 'br/', and an unmatched </section> closer.
+TPL_VOIDS = (
+    '<html><body><p>a < b; %2$s</p><br/>'
+    '<img src="/img/%1$s.png" alt="d%1$s"><hr>'
+    '</section><input type="text" value="%3$s"></body></html>'
+)
+# special: T6 special-tag JS submachine — jhp content split into
+# text/comment tokens (line + block comments), script block as text.
+TPL_SPECIAL = (
+    '<html><body><jhp>var x = %1$s; // note %4$s\n'
+    '/* c */ if (x < 2) { x = x + 1; }</jhp>'
+    '<script>let s = "%3$s"; // tail\n</script>'
+    '<p>%2$s</p></body></html>'
+)
+# toHtml of the MAIN template is not byte-identical to the input:
+# style blocks re-serialize through cssTreeToString (pretty-printed)
+# and comments are dropped by default — both reference semantics.  The
+# serialized form is still a fixed template (kernel-derived, reference-
+# verified via goldens' to_html asserts):
+TPL_MAIN_SERIALIZED = (
+    "<html><head><title>Doc %1$s</title><style>\n.main {\n"
+    "    color: #222;\n}\n@media print {\n    .main {\n"
+    "        color: black;\n    }\n\n}\n</style></head>"
+    '<body><nav class="top"><a href="/src/%4$s">%4$s</a>'
+    '<a href="/lang/%3$s">%3$s</a></nav>'
+    '<main class="main"><h1>Doc %1$s</h1>'
+    '<p class="content">%2$s</p></main>'
+    '<aside><a href="/r">related</a></aside>'
+    "<footer>corpus footer</footer></body></html>"
+)
+# the reference does NOT round-trip jhp comments (toHtml drops them);
+# its serialized form is itself a fixed template — used as the
+# doc_roundtrip oracle for the special page.
+TPL_SPECIAL_SERIALIZED = (
+    '<html><body><jhp>var x = %1$s;  if (x < 2) { x = x + 1; }</jhp>'
+    '<script>let s = "%3$s"; // tail\n</script>'
+    '<p>%2$s</p></body></html>'
+)
+# malformed: T8 recovery — unclosed p/span closed by the ancestor
+# </div>, an unmatched </i>, and an unclosed trailing <p> at EOF
+# (mirrors /root/reference/test/parser.test.js "handles malformed HTML
+# gracefully").
+TPL_MALFORMED = (
+    '<div class="w"><p>Unclosed %2$s<span>s%1$s</div>'
+    '<b>b %3$s</i></b><p>tail %4$s'
+)
+
+VARIANT_TEMPLATES = {
+    "main": HTML_TEMPLATE,
+    "voids": TPL_VOIDS,
+    "special": TPL_SPECIAL,
+    "malformed": TPL_MALFORMED,
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                fmt: str | None = None) -> DataFrame:
     """Table seam.  Production shape is an Iceberg catalog table
@@ -81,6 +143,26 @@ def render_html(docs: DataFrame) -> DataFrame:
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-shaped documents for a testdata sf dir (rendered)."""
     return render_html(load_table(spark, sf_dir, "documents"))
+
+
+def render_variant(docs: DataFrame, variant: str) -> DataFrame:
+    """(doc_id, text, lang, source, …) → crawl shape rendered with one
+    of VARIANT_TEMPLATES; urls carry the variant as a fragment so the
+    corpora can be unioned without key collisions."""
+    tpl = VARIANT_TEMPLATES[variant]
+    return docs.select(
+        F.format_string(f"doc://%s/%s#{variant}", "source", "doc_id")
+        .alias("url"),
+        F.encode(
+            F.format_string(tpl, "doc_id", "text", "lang", "source"),
+            "utf-8").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+
+
+def load_documents_variant(spark: SparkSession, sf_dir: str,
+                           variant: str) -> DataFrame:
+    return render_variant(load_table(spark, sf_dir, "documents"), variant)
 
 
 def render_html_heavy(docs: DataFrame, paras: int = 40) -> DataFrame:

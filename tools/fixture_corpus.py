@@ -476,3 +476,36 @@ CASES += [
      "ops": [{"op": "find_by_type", "name": "script-block"},
              {"op": "nodes_by_type", "name": "text"}]},
 ]
+
+# oracle-variant templates (sources/documents.py VARIANT_TEMPLATES):
+# pin the exact pages the driver-oracle structure maps depend on —
+# if the kernel ever diverges from the reference on these, goldens
+# catch it before the closed-form oracles silently pin a wrong tree.
+def _render_variant(tpl: str, doc_id, text, lang, source) -> str:
+    return (tpl.replace("%1$s", str(doc_id)).replace("%2$s", text)
+            .replace("%3$s", lang).replace("%4$s", source))
+
+
+_VARIANT_TPLS = {
+    "voids": '<html><body><p>a < b; %2$s</p><br/>'
+             '<img src="/img/%1$s.png" alt="d%1$s"><hr>'
+             '</section><input type="text" value="%3$s"></body></html>',
+    "special": '<html><body><jhp>var x = %1$s; // note %4$s\n'
+               '/* c */ if (x < 2) { x = x + 1; }</jhp>'
+               '<script>let s = "%3$s"; // tail\n</script>'
+               '<p>%2$s</p></body></html>',
+    "malformed": '<div class="w"><p>Unclosed %2$s<span>s%1$s</div>'
+                 '<b>b %3$s</i></b><p>tail %4$s',
+}
+
+CASES += [
+    {"id": f"variant-{name}-{i}",
+     "html": _render_variant(tpl, doc_id, text, lang, source),
+     "ops": [{"op": "extract"}, {"op": "comments"},
+             {"op": "nodes_by_type", "name": "text"}]}
+    for name, tpl in sorted(_VARIANT_TPLS.items())
+    for i, (doc_id, text, lang, source) in enumerate([
+        (7, "hello world foo", "en", "src1"),
+        (12345, "la vie est belle et longue", "fr", "another_source"),
+    ])
+]
