@@ -6,14 +6,16 @@ line:  {"metric", "value" (sec), "unit": "sec", "queries": {...},
 "sf", "docs_per_sec", "scaling": {...}}.
 
 Scaling evidence (BASELINE.md: no real cluster in this sandbox): the
-same extraction job runs in fresh subprocess JVMs at local[N] and
-local[4N] over an identical deterministically-replicated corpus; the
-JSON carries throughput at both plus efficiency = (rate_4N / rate_N)/4.
-N defaults to 2 (pair 2→8): a multiprocessing control experiment shows
-this VM saturates at ~12 effective cores (32 procs reach only ~12x a
-single proc), so pairs above 8 measure the host ceiling, not the
-engine; the control numbers are recorded in BENCH/BASELINE.md.
-Override with SPARK_GRAFT_BENCH_LOW.
+same extraction job runs in two PERSISTENT subprocess JVMs at local[N]
+and local[4N] over an identical deterministically-replicated corpus;
+≥3 pairs of back-to-back timed runs alternate between them (order
+flipped per pair) and the committed efficiency is the MEDIAN per-pair
+(rate_4N / rate_N)/4.  N defaults to 1 (pair 1→4): a multiprocessing
+control experiment shows this VM saturates at ~12 effective cores
+(32 procs reach only ~12x a single proc; even 2→8 host-scales at just
+0.73), so higher pairs measure the host ceiling, not the engine; the
+control numbers are recorded in BENCH/BASELINE.md.  Override with
+SPARK_GRAFT_BENCH_LOW / SPARK_GRAFT_BENCH_PAIRS.
 
 All progress goes to stderr; stdout carries exactly one JSON line.
 """
@@ -34,6 +36,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # replication factor for the scaling corpus (distinct urls, same pages)
 BENCH_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
+# the SCALING pair trades two constraints: enough work per run that
+# the ~1s fixed per-run cost (scan + 2 stage boundaries + agg collect)
+# is small vs the high-side wall, but runs short enough that one
+# lo+hi pair fits inside a single host-noise window (the host has
+# multi-minute interference windows; a pair that straddles one gets a
+# garbage ratio).  mult=8 at sf0.1 → ~40 s per pair (lo ~30s, hi ~8s),
+# overhead <13% of the hi wall.
+SCALING_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "8"))
 # paragraphs per bench page (~12-15 KB pages at sf0.1 text lengths)
 BENCH_PARAS = int(os.environ.get("SPARK_GRAFT_BENCH_PARAS", "40"))
 
@@ -66,9 +76,13 @@ def _replicated_docs(spark, sf_dir: str, mult: int, partitions: int):
     return render_html_heavy(raw, paras=BENCH_PARAS)
 
 
-def run_extraction_measured(master: str, sf_dir: str, mult: int) -> dict:
-    """Worker: timed parity extraction over the replicated corpus.
-    Returns {docs, bytes, wall_s, docs_per_s}."""
+def serve_extraction_worker(master: str, sf_dir: str, mult: int) -> None:
+    """Persistent worker: one Spark session at ``master``; each 'run'
+    line on stdin executes ONE timed parity extraction over the
+    replicated corpus and prints a JSON result line.  Keeping both
+    pair configs alive lets the driver alternate measurements
+    back-to-back in the SAME host-noise window — JVM start never sits
+    between the two sides of a pair."""
     from pyspark.sql import functions as F
 
     from simple_html_parser_spark.operators.extraction import (
@@ -77,21 +91,32 @@ def run_extraction_measured(master: str, sf_dir: str, mult: int) -> dict:
     from simple_html_parser_spark.runtime.session import get_spark
 
     cores = int(master[6:-1])
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     spark = get_spark(
         "bench-extract", master=master,
         shuffle_partitions=max(2 * cores, 8),
-        # fixed partitioning; AQE re-planning only adds latency here
-        extra_confs={"spark.sql.adaptive.enabled": "false"})
+        # fixed partitioning; AQE re-planning only adds latency here.
+        # ActiveProcessorCount=N makes local[N] an honest analog of an
+        # N-core executor: GC/netty/thread pools size to N, not to the
+        # host's 32 vCPUs — and the two persistent pair JVMs stop
+        # fighting each other with 32-wide GC pools.
+        extra_confs={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.driver.memory": "12g",
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cores} "
+                f"-XX:ParallelGCThreads={max(2, cores)}",
+        })
     try:
-        # warmup: exercise codegen + Python worker pool on a tiny slice
-        warm = _replicated_docs(spark, sf_dir, 1, cores).limit(64)
-        extract_documents(warm).count()
-
         # pre-partitioned upstream → no post-render exchange needed
         docs = _replicated_docs(spark, sf_dir, mult, 4 * cores)
-        best = None
-        for _ in range(trials):
+        # warmup: ONE FULL unmeasured run — JIT + Python worker pool +
+        # codegen; a cold first run measures the JVM, not the engine
+        # (observed 2x on the first measured run without this)
+        extract_documents(docs).agg(F.count("*")).collect()
+        print(json.dumps({"ready": True}), flush=True)
+        for line in sys.stdin:
+            if line.strip() != "run":
+                break
             t0 = time.perf_counter()
             agg = extract_documents(docs).agg(
                 F.count("*").alias("n"),
@@ -102,20 +127,15 @@ def run_extraction_measured(master: str, sf_dir: str, mult: int) -> dict:
                 .alias("errs"),
             ).collect()[0]
             wall = time.perf_counter() - t0
-            # best-of-N: the sandbox host is shared and noisy; the
-            # minimum wall is the least-interfered measurement
-            if best is None or wall < best[0]:
-                best = (wall, agg)
-        wall, agg = best
-        return {
-            "docs": agg.n, "bytes": agg.b, "errors": agg.errs,
-            "wall_s": round(wall, 3),
-            "docs_per_s": round(agg.n / wall, 1),
-            "mb_per_s": round(agg.b / wall / 1e6, 2),
-            # kernel CPU per doc: constancy across parallelism levels
-            # shows the ENGINE adds no per-core coordination cost
-            "kernel_cpu_ms_per_doc": round(agg.cpu_ms / agg.n, 4),
-        }
+            print(json.dumps({
+                "docs": agg.n, "bytes": agg.b, "errors": agg.errs,
+                "wall_s": round(wall, 3),
+                "docs_per_s": round(agg.n / wall, 1),
+                "mb_per_s": round(agg.b / wall / 1e6, 2),
+                # kernel CPU per doc: constancy across parallelism
+                # levels shows the ENGINE adds no per-core cost
+                "kernel_cpu_ms_per_doc": round(agg.cpu_ms / agg.n, 4),
+            }), flush=True)
     finally:
         spark.stop()
 
@@ -147,47 +167,88 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+class _Worker:
+    """Driver-side handle on a persistent extraction worker."""
+
+    def __init__(self, cores: int, sf_dir: str, mult: int):
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", __file__, "--serve",
+             f"local[{cores}]", sf_dir, str(mult)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True)
+        line = self.proc.stdout.readline()
+        assert json.loads(line).get("ready"), line
+
+    def run(self) -> dict:
+        self.proc.stdin.write("run\n")
+        self.proc.stdin.flush()
+        return json.loads(self.proc.stdout.readline())
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("exit\n")
+            self.proc.stdin.flush()
+        except Exception:  # noqa: BLE001
+            pass
+        self.proc.wait(timeout=60)
+
+
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
         master, sf_dir, mult = sys.argv[2], sys.argv[3], int(sys.argv[4])
-        print(json.dumps(run_extraction_measured(master, sf_dir, mult)))
+        serve_extraction_worker(master, sf_dir, mult)
         return
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     scaling: dict = {}
-    low_cores = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
+    # Pair N=1 → 4N=4 by default: the north rule's "N to 4N executors"
+    # maps to local[1] → local[4] on this single VM; the Spark-free
+    # host control (BENCH/BASELINE.md) shows the HOST itself only
+    # scales ~0.73 at 2→8 and worse above (oversubscribed vCPUs,
+    # ~12 effective cores), so higher pairs measure the host, not the
+    # engine.  2→8 numbers are still recorded in history for trend.
+    low_cores = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "1"))
     hi_cores = 4 * low_cores
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-    # The sandbox host has multi-minute interference windows (other
-    # tenants).  Each ROUND runs both configs back-to-back (same
-    # window); efficiency comes from the least-interfered round (max
-    # per-round ratio) — per-config best-of would bias the ratio,
-    # since a lucky quiet window helps the low-core config more.
-    round_pairs: list[dict] = []
-    for rnd in range(rounds):
-        pair: dict = {}
-        for cores in (low_cores, hi_cores):
-            master = f"local[{cores}]"
-            log(f"scaling round {rnd} {master} mult={BENCH_MULT} ...")
-            proc = subprocess.run(
-                [sys.executable, __file__, "--worker", master, SF_DIR,
-                 str(BENCH_MULT)],
-                capture_output=True, text=True, check=True,
-            )
-            pair[cores] = json.loads(
-                proc.stdout.strip().split("\n")[-1])
-            log(f"  → {pair[cores]}")
-        round_pairs.append(pair)
-    per_round_eff = [
-        round((p[hi_cores]["docs_per_s"] / p[low_cores]["docs_per_s"])
-              / 4.0, 3)
-        for p in round_pairs
-    ]
-    best_round = max(range(len(per_round_eff)),
-                     key=lambda i: per_round_eff[i])
-    efficiency = per_round_eff[best_round]
-    scaling[str(low_cores)] = round_pairs[best_round][low_cores]
-    scaling[str(hi_cores)] = round_pairs[best_round][hi_cores]
+    pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "5"))
+    # Both configs stay ALIVE; each pair alternates one timed run on
+    # each, back-to-back inside the same host-noise window, with the
+    # order flipped every pair to cancel drift.  The committed number
+    # is the MEDIAN per-pair efficiency (VERDICT r01 item 10).
+    log(f"scaling: starting persistent workers local[{low_cores}] / "
+        f"local[{hi_cores}], mult={SCALING_MULT}, {pairs} pairs ...")
+    w_lo = _Worker(low_cores, SF_DIR, SCALING_MULT)
+    w_hi = _Worker(hi_cores, SF_DIR, SCALING_MULT)
+    pair_results: list[dict] = []
+    try:
+        for i in range(pairs):
+            order = (w_lo, w_hi) if i % 2 == 0 else (w_hi, w_lo)
+            got = {w.cores: w.run() for w in order}
+            eff = round((got[hi_cores]["docs_per_s"]
+                         / got[low_cores]["docs_per_s"]) / 4.0, 3)
+            pair_results.append(
+                {"eff": eff, low_cores: got[low_cores],
+                 hi_cores: got[hi_cores]})
+            log(f"  pair {i}: lo {got[low_cores]['wall_s']}s "
+                f"hi {got[hi_cores]['wall_s']}s eff={eff}")
+    finally:
+        w_lo.close()
+        w_hi.close()
+    per_round_eff = [p["eff"] for p in pair_results]
+    ranked = sorted(range(len(pair_results)),
+                    key=lambda i: per_round_eff[i])
+    median_idx = ranked[len(ranked) // 2]
+    efficiency = per_round_eff[median_idx]
+    # secondary robust stat: ratio of per-side median rates — immune to
+    # a noise spike landing inside one half of one pair (the per-pair
+    # median treats that pair as signal; the per-side median does not)
+    med_lo = sorted(p[low_cores]["docs_per_s"]
+                    for p in pair_results)[len(pair_results) // 2]
+    med_hi = sorted(p[hi_cores]["docs_per_s"]
+                    for p in pair_results)[len(pair_results) // 2]
+    eff_ratio_of_medians = round(med_hi / med_lo / 4.0, 3)
+    scaling[str(low_cores)] = pair_results[median_idx][low_cores]
+    scaling[str(hi_cores)] = pair_results[median_idx][hi_cores]
     rate_hi = scaling[str(hi_cores)]["docs_per_s"]
     # engine-level efficiency: per-doc kernel CPU constancy (1.0 = the
     # added parallelism costs the engine nothing; wall-clock efficiency
@@ -224,7 +285,11 @@ def main() -> None:
             f"local[{low_cores}]": scaling[str(low_cores)],
             f"local[{hi_cores}]": scaling[str(hi_cores)],
             "efficiency": efficiency,
-            "per_round_efficiency": per_round_eff,
+            "efficiency_method": "median of %d interleaved N<->4N "
+                                 "pairs, both JVMs persistent, order "
+                                 "alternated per pair" % pairs,
+            "per_pair_efficiency": per_round_eff,
+            "efficiency_ratio_of_medians": eff_ratio_of_medians,
             "engine_efficiency_cpu_normalized": engine_efficiency,
             "gate": ">=0.8 per BASELINE.json north_rule (N->4N)",
             "note": "pair N=%d->4N=%d; this VM saturates at ~12 "
@@ -238,6 +303,8 @@ def main() -> None:
     hist_path = ROOT / "BENCH" / "history.jsonl"
     hist_entry = {
         "efficiency": efficiency,
+        "ratio_of_medians": eff_ratio_of_medians,
+        "pair": f"{low_cores}->{hi_cores}",
         "per_round": per_round_eff,
         "engine_efficiency": engine_efficiency,
         "hi_mb_per_s": scaling[str(hi_cores)]["mb_per_s"],
@@ -261,10 +328,11 @@ def _write_baseline_md(result: dict, low_cores: int, hi_cores: int) -> None:
     md = f"""# BENCH baseline — measured scaling evidence
 
 Generated by bench.py (deterministic corpus: sf{result['sf']}
-documents × {BENCH_MULT} replicas = {s['corpus_docs']} pages of
+documents × {SCALING_MULT} replicas = {s['corpus_docs']} pages of
 ~10-15 KB, rendered JVM-side AFTER the exchange — the shuffle carries
 compact rows, never html bytes — then parity extraction through the
-single mapInArrow stage).
+single mapInArrow stage; both pair JVMs persistent and fully warmed
+with one unmeasured full run before the timed pairs).
 
 | parallelism | docs | wall s | docs/s | MB/s |
 |---|---|---|---|---|
@@ -272,12 +340,17 @@ single mapInArrow stage).
 | local[{hi_cores}] | {hi['docs']} | {hi['wall_s']} | {hi['docs_per_s']} | {hi['mb_per_s']} |
 
 **Scaling efficiency ({low_cores}→{hi_cores} cores: N→4N):
-{s['efficiency']} this run; best paired-round observed across runs:
-{s.get('best_observed_efficiency', s['efficiency'])}** (gate ≥ 0.8,
+{s['efficiency']}** — the MEDIAN of {len(s['per_pair_efficiency'])}
+interleaved pairs (both JVMs persistent + fully warmed, each pinned to
+its core budget via -XX:ActiveProcessorCount, one timed run each
+back-to-back inside the same host-noise window, order alternated per
+pair; per-pair: {s['per_pair_efficiency']}).  Ratio of per-side median
+rates: {s['efficiency_ratio_of_medians']} (robust to a noise spike
+inside one half of one pair).  Best observed across runs:
+{s.get('best_observed_efficiency', s['efficiency'])}.  Gate ≥ 0.8,
 BASELINE.json north_rule; measured as (rate_4N/rate_N)/4 on identical
 input — the sandbox stand-in for N→4N executors; per-run history in
-BENCH/history.jsonl — the shared host's noise windows make single runs
-swing, see controls below).
+BENCH/history.jsonl.
 
 **Engine efficiency (kernel-CPU per doc, N vs 4N):
 {s['engine_efficiency_cpu_normalized']}** — per-document kernel CPU is
