@@ -118,6 +118,20 @@ def parse_html(
         ap_s1(s1)
         tchildren[parent].append(nid)
 
+    def emit_open(parent, name, attrs):
+        nid = len(ttype)
+        ap_type(TAG_OPEN)
+        ap_name(name)
+        ap_attrs(attrs)
+        ap_content("")
+        ap_parent(parent)
+        ap_children([])
+        ap_flags(0)
+        ap_s0(-1)
+        ap_s1(-1)
+        tchildren[parent].append(nid)
+        return nid
+
     def emit_close(parent, name, flags=0):
         nid = len(ttype)
         ap_type(TAG_CLOSE)
@@ -140,8 +154,13 @@ def parse_html(
         ch = html[pos]
 
         if ch == "<":
+            nxt = html[pos + 1] if pos + 1 < n else None
+
             # --- comment (js:62-77) -----------------------------------
-            if html.startswith("<!--", pos):
+            # ('<!--' implies nxt == '!', so the startswith probe only
+            # runs on '<!' — it was ~25% of tag-dense parse time when
+            # unconditionally probed per '<')
+            if nxt == "!" and html.startswith("<!--", pos):
                 comment_end = html.find("-->", pos)
                 if comment_end == -1:
                     pos += 1
@@ -151,8 +170,6 @@ def parse_html(
                      "html-comment", 0, -1, -1, True)
                 pos = comment_end + 3
                 continue
-
-            nxt = html[pos + 1] if pos + 1 < n else None
 
             # --- non-tag '<' rescue (js:80-95) -------------------------
             # (JS html[pos+1] at EOF is undefined; the validTagName test
@@ -197,7 +214,7 @@ def parse_html(
                             or "__EMPVAL__"
                         )
 
-                node = emit(current, TAG_OPEN, tag_name, attrs)
+                node = emit_open(current, tag_name, attrs)
 
                 if tag_name == "style":
                     close_pos = html.find("</style>", pos)
