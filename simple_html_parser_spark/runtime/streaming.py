@@ -55,3 +55,110 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+):
+    """Watermarked tumbling-window crawl metrics: docs / bytes per
+    ``warc_ts`` window.  The watermark bounds state for late data —
+    events later than ``watermark`` behind the max seen ``warc_ts``
+    are dropped and their windows finalized, so state size is
+    O(windows in the watermark horizon), not O(stream length) — the
+    property that keeps this runnable forever on a 10^12-doc append
+    stream.  Append output mode: a window row is emitted exactly once,
+    when the watermark passes its end."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(CRAWL_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.octet_length("html")).alias("html_bytes"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_docs", "html_bytes")
+    )
+    return (
+        agg.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Stateful streaming exact-dedup: keep only the FIRST occurrence
+    of each url across the whole stream (applyInPandasWithState,
+    GroupState per url).  The training-data shape: a crawl re-fetches
+    pages; downstream must see one row per url without a batch-side
+    join against everything seen.  State per key is a single flag —
+    at 10^12 urls state lives in the state store (RocksDB in prod),
+    partitioned by the url hash like any shuffle."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    from pyspark.sql.types import IntegerType, LongType
+
+    out_schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("n_bytes", LongType()),
+    ])
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        state.update((1,))
+        if first is not None:
+            yield pd.DataFrame({
+                "url": first["url"].values,
+                "warc_ts": first["warc_ts"].values,
+                "n_bytes": first["n_bytes"].values.astype("int64"),
+            })
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(CRAWL_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .select("url", "warc_ts",
+                F.octet_length("html").cast("long").alias("n_bytes"))
+    )
+    deduped = stream.groupBy("url").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return (
+        deduped.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -168,3 +168,60 @@ def test_giant_page_skew(spark, docs):
     assert rows["giant://1"].extracted_text == big_body
     assert rows["giant://1"].error is None
     assert all(r.error is None for r in rows.values())
+
+
+def test_streaming_windowed_metrics(spark, docs, tmp_path):
+    """Watermark + tumbling window: per-minute doc/byte counts over
+    warc_ts (append mode — windows finalize when the watermark passes)."""
+    from simple_html_parser_spark.runtime.streaming import (
+        stream_windowed_metrics,
+    )
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    # warc_ts = 2025-01-01 00:00:00 + doc_id seconds → doc_ids 0..119
+    # span exactly two 1-minute windows (limit() would be an arbitrary,
+    # non-deterministic 120 rows).  Append mode emits a window only
+    # when the WATERMARK passes its end — availableNow does NOT
+    # force-finalize — so late sentinel docs (00:08:00..) advance the
+    # watermark past both windows; the sentinels' own window stays
+    # open and must NOT appear.
+    docs.where((F.col("warc_ts") < "2025-01-01 00:02:00")
+               | ((F.col("warc_ts") >= "2025-01-01 00:08:00")
+                  & (F.col("warc_ts") < "2025-01-01 00:08:05"))) \
+        .write.parquet(inp)
+    q = stream_windowed_metrics(spark, inp, outp, chk,
+                                watermark="1 minute")
+    q.awaitTermination(120)
+    got = {r.window_start.strftime("%H:%M"): r.n_docs
+           for r in spark.read.parquet(outp).collect()}
+    assert got == {"00:00": 60, "00:01": 60}
+
+
+def test_streaming_stateful_dedup(spark, docs, tmp_path):
+    """applyInPandasWithState exact-dedup: re-fetched urls in LATER
+    micro-batches are dropped; state persists across triggers."""
+    from pyspark.sql import functions as F2
+    from simple_html_parser_spark.runtime.streaming import (
+        stream_dedup_first_seen,
+    )
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    # deterministic micro-batches via warc_ts (encodes doc_id):
+    # batch 1 = doc_ids 0..29; batch 2 = 10 re-fetches + doc_ids 30..34
+    first = docs.where(F.col("warc_ts") < "2025-01-01 00:00:30") \
+        .select("url", "warc_ts", "html")
+    dup = docs.where(F.col("warc_ts") < "2025-01-01 00:00:10").select(
+        "url", (F2.col("warc_ts") + F2.expr("INTERVAL 1 HOUR"))
+        .alias("warc_ts"), "html")
+    new = docs.where(
+        (F.col("warc_ts") >= "2025-01-01 00:00:30")
+        & (F.col("warc_ts") < "2025-01-01 00:00:35")) \
+        .select("url", "warc_ts", "html")
+    first.coalesce(1).write.parquet(inp)
+    dup.unionByName(new).coalesce(1).write.mode("append").parquet(inp)
+    q = stream_dedup_first_seen(spark, inp, outp, chk)
+    q.awaitTermination(180)
+    got = spark.read.parquet(outp)
+    assert got.count() == got.select("url").distinct().count() == 35
