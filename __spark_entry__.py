@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
 from simple_html_parser_spark.operators import dedup as D
+from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import domsql as DS
 from simple_html_parser_spark.operators import multimodal as MM
 from simple_html_parser_spark.operators import relational as R
@@ -45,7 +46,7 @@ from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
 )
 from simple_html_parser_spark.sources.documents import (
-    HTML_TEMPLATE, TPL_MAIN_SERIALIZED, TPL_MALFORMED,
+    HTML_TEMPLATE, TPL_MAIN_EDITED, TPL_MAIN_SERIALIZED, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
     load_documents, load_documents_variant, load_table,
 )
@@ -227,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "name",
                 F.col("attrs")["src"].alias("src"),
                 F.col("attrs")["value"].alias("value")))
+    q["doc_edit_pipeline"] = lambda spark, sf: ED.edit_roundtrip(
+        load_documents_variant(spark, sf, "main")) \
+        .select("url", "ed_len", "ed_sha256")
     q["doc_roundtrip"] = lambda spark, sf: roundtrip_html(
         load_documents_variant(spark, sf, "main")
         .unionByName(load_documents_variant(spark, sf, "voids"))
@@ -468,6 +472,17 @@ def oracle_sql() -> dict[str, str]:
                sha256({r}) AS rt_sha256
         FROM documents""")
     o["doc_roundtrip"] = " UNION ALL ".join(_rt_parts)
+
+    # parse → querySelector → A2-A4 attr writes → M1-M7 rewrites →
+    # toHtml, per url; expected bytes are the closed-form edited
+    # template (TPL_MAIN_EDITED, reference-verified via the
+    # edit-pipeline goldens)
+    _ed = _render_sql(TPL_MAIN_EDITED)
+    o["doc_edit_pipeline"] = f"""
+        SELECT {_v_url['main']} AS url,
+               octet_length(encode({_ed})) AS ed_len,
+               sha256({_ed}) AS ed_sha256
+        FROM documents"""
 
     o["sql_qsa_descendant"] = f"""
         SELECT {_URL_SQL} AS url, v.node_id, v.bfs_rank

@@ -83,6 +83,21 @@ TPL_MAIN_SERIALIZED = (
     '<aside><a href="/r">related</a></aside>'
     "<footer>corpus footer</footer></body></html>"
 )
+# the main template after operators/editing.EDIT_STEPS (A2-A4 attr
+# writes + M1-M7 tree rewrites) serializes to this fixed template —
+# kernel-derived (marker substitution), reference-verified via the
+# edit-pipeline golden cases.  Note reference semantics preserved:
+# updateAttribute APPENDS ("top topx"), removeAttribute leaves a bare
+# <a>, toHtml drops the comment.
+TPL_MAIN_EDITED = (
+    "<html><head><span>T</span><style>\n.main {\n    color: #222;\n}\n"
+    "@media print {\n    .main {\n        color: black;\n    }\n\n}\n"
+    '</style></head><body><nav class="top topx">'
+    '<a href="/src/%4$s">%4$s</a><a href="/lang/%3$s">%3$s</a></nav>'
+    '<main class="main" data-k="v1"><h1>Doc %1$s</h1>'
+    '<p class="content">%2$s</p><p class="x">tail</p></main>'
+    "<em>z</em><aside><a>related</a></aside></body></html>"
+)
 # the reference does NOT round-trip jhp comments (toHtml drops them);
 # its serialized form is itself a fixed template — used as the
 # doc_roundtrip oracle for the special page.

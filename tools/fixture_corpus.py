@@ -509,3 +509,27 @@ CASES += [
         (12345, "la vie est belle et longue", "fr", "another_source"),
     ])
 ]
+
+# the doc_edit_pipeline driver-oracle script (operators/editing.py):
+# pin kernel==reference for the EXACT step list the Spark operator
+# applies, on rendered main-template instances.
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+from simple_html_parser_spark.operators.editing import (  # noqa: E402
+    EDIT_STEPS,
+)
+from simple_html_parser_spark.sources.documents import (  # noqa: E402
+    HTML_TEMPLATE as _MAIN_TPL,
+)
+
+CASES += [
+    {"id": f"edit-pipeline-{i}",
+     "html": _render_variant(_MAIN_TPL, doc_id, text, lang, source),
+     "ops": [{"op": "mutate", "steps": list(EDIT_STEPS)}]}
+    for i, (doc_id, text, lang, source) in enumerate([
+        (7, "hello world foo", "en", "src1"),
+        (12345, "la vie est belle et longue", "fr", "another_source"),
+    ])
+]
