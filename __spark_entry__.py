@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
 from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
+from simple_html_parser_spark.operators import queryapi as QA
 from simple_html_parser_spark.operators import domsql as DS
 from simple_html_parser_spark.operators import multimodal as MM
 from simple_html_parser_spark.operators import relational as R
@@ -228,6 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "name",
                 F.col("attrs")["src"].alias("src"),
                 F.col("attrs")["value"].alias("value")))
+    q["kernel_query_api"] = lambda spark, sf: QA.kernel_query_api(
+        load_documents_variant(spark, sf, "main"))
+    q["css_query_api"] = lambda spark, sf: QA.css_query_api(
+        load_documents_variant(spark, sf, "cssy"))
     q["doc_edit_pipeline"] = lambda spark, sf: ED.edit_roundtrip(
         load_documents_variant(spark, sf, "main")) \
         .select("url", "ed_len", "ed_sha256")
@@ -472,6 +477,46 @@ def oracle_sql() -> dict[str, str]:
                sha256({r}) AS rt_sha256
         FROM documents""")
     o["doc_roundtrip"] = " UNION ALL ".join(_rt_parts)
+
+    # kernel selector engine + find-API over the main template: every
+    # op's matched-id list is a per-doc constant (pinned from the
+    # kernel, reference-verified by the query-api golden case)
+    o["kernel_query_api"] = f"""
+        SELECT {_v_url['main']} AS url, v.op, v.arg, v.ids
+        FROM documents, (VALUES
+            ('qsa', 'nav a', '14,17'),
+            ('qsa', '.main', '21'),
+            ('qsa', 'p.content', '25'),
+            ('qsa', 'body :not(a)', '12'),
+            ('qsa', 'a[href=''/r'']', '30'),
+            ('qs', 'nav', '13'),
+            ('by_tag', 'a', '14,17,30'),
+            ('by_attr', 'href', '14,17,30'),
+            ('by_type', 'comment', '34'),
+            ('nodes_by_type', 'text', '4,15,18,23,26,31,36'),
+            ('comments', '', '34')
+        ) AS v(op, arg, ids)"""
+
+    # cssFind* over the cssy template: at-rule, compound-vs-exact rule
+    # matches (compound picks up the @media-nested .a), and custom
+    # properties with scope paths — --pad's value is doc_id-dependent
+    o["css_query_api"] = f"""
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#cssy') AS url,
+               v.kind, v.name,
+               CASE WHEN v.name = '--pad'
+                    THEN CAST(doc_id AS VARCHAR) || 'px'
+                    ELSE v.value END AS value
+        FROM documents, (VALUES
+            ('at_rule', 'media', 'screen'),
+            ('rules_compound', '.a', '5,8'),
+            ('rules_exact', '.a', '5,8'),
+            ('rules_compound', '.d', '10'),
+            ('rules_exact', '.d', '10'),
+            ('var::root', '--c', '#0a0'),
+            ('var::root', '--pad', ''),
+            ('var:#hdr', '--local', '7px')
+        ) AS v(kind, name, value)"""
 
     # parse → querySelector → A2-A4 attr writes → M1-M7 rewrites →
     # toHtml, per url; expected bytes are the closed-form edited

@@ -1,0 +1,138 @@
+"""Kernel query-API surface as oracle-checked Spark operators.
+
+Runs the ACTUAL selector engine (querySelector(All) with descendant /
+class / id / attr / :not — reference node.js:910-1235) and the CSS
+query ops (cssFindAtRules/Rules/Variable(s) — node.js:466-668) per
+document inside one mapInArrow stage, emitting flat rows the DuckDB
+oracle can pin.  On the fixed templates every result is a per-doc
+constant (or a closed-form function of doc_id), and the exact op lists
+are reference-verified by the query-api / cssy golden cases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..kernel import cssquery, selector
+from ..kernel.tokenizer import parse_html
+from .extraction import MAX_NODES_PER_DOC, _decode
+
+# (op, arg) — executed in order per document on the MAIN template.
+QUERY_OPS: tuple[tuple[str, str], ...] = (
+    ("qsa", "nav a"),
+    ("qsa", ".main"),
+    ("qsa", "p.content"),
+    ("qsa", "body :not(a)"),
+    ("qsa", "a[href='/r']"),
+    ("qs", "nav"),
+    ("by_tag", "a"),
+    ("by_attr", "href"),
+    ("by_type", "comment"),
+    ("nodes_by_type", "text"),
+    ("comments", ""),
+)
+
+QUERY_SCHEMA = "url string, op string, arg string, ids string"
+
+_PA_Q = pa.schema([
+    ("url", pa.string()), ("op", pa.string()),
+    ("arg", pa.string()), ("ids", pa.string()),
+])
+
+
+def _run_query_op(t, op: str, arg: str) -> list[int]:
+    if op == "qsa":
+        return selector.query_selector_all(t, 0, arg)
+    if op == "qs":
+        r = selector.query_selector(t, 0, arg)
+        return [] if r is None else [r]
+    if op == "by_tag":
+        return selector.find_all_by_tag(t, 0, arg)
+    if op == "by_attr":
+        return selector.find_all_by_attr(t, 0, arg)
+    if op == "by_type":
+        return selector.find_all_by_type(t, 0, arg)
+    if op == "nodes_by_type":
+        return selector.get_nodes_by_type(t, 0, arg)
+    if op == "comments":
+        return [c["node"] for c in selector.get_comments(t, 0)]
+    raise ValueError(op)
+
+
+def _query_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_Q.names}
+        for url, raw in zip(urls, htmls):
+            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            for op, arg in QUERY_OPS:
+                cols["url"].append(url)
+                cols["op"].append(op)
+                cols["arg"].append(arg)
+                cols["ids"].append(
+                    ",".join(str(i) for i in _run_query_op(t, op, arg)))
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_Q.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_Q)
+
+
+def kernel_query_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → one row per (url, query op): matched
+    node ids, comma-joined in engine order."""
+    return df.select("url", "html").mapInArrow(_query_fn, QUERY_SCHEMA)
+
+
+# ---- CSS query surface -------------------------------------------------------
+
+CSSQ_SCHEMA = "url string, kind string, name string, value string"
+
+_PA_C = pa.schema([
+    ("url", pa.string()), ("kind", pa.string()),
+    ("name", pa.string()), ("value", pa.string()),
+])
+
+
+def _cssq_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_C.names}
+
+        def emit(url, kind, name, value):
+            cols["url"].append(url)
+            cols["kind"].append(kind)
+            cols["name"].append(name)
+            cols["value"].append(value)
+
+        for url, raw in zip(urls, htmls):
+            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            for nid in cssquery.css_find_at_rules(t, 0):
+                emit(url, "at_rule", t.css_name[nid],
+                     t.css_params[nid] or "")
+            for sel in (".a", ".d"):
+                ids = cssquery.css_find_rules(t, 0, sel)
+                emit(url, "rules_compound", sel,
+                     ",".join(str(i) for i in ids))
+                ids = cssquery.css_find_rules(t, 0, sel,
+                                              include_compound=False)
+                emit(url, "rules_exact", sel,
+                     ",".join(str(i) for i in ids))
+            for v in cssquery.css_find_variables(t, 0):
+                emit(url, "var:" + v["scope"], v["name"], v["value"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_C.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_C)
+
+
+def css_query_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → cssFindAtRules / cssFindRules (compound
+    AND exact) / cssFindVariables results as flat rows."""
+    return df.select("url", "html").mapInArrow(_cssq_fn, CSSQ_SCHEMA)

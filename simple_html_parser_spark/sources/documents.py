@@ -115,11 +115,27 @@ TPL_MALFORMED = (
     '<b>b %3$s</i></b><p>tail %4$s'
 )
 
+# cssy: C2 nested-rule lookahead, C8-C11 cssFind* (at-rule, compound
+# vs exact rule match, custom properties with :root/#hdr scopes —
+# --pad's VALUE is per-doc, so the variables query is value-checked,
+# not just shape-checked).
+TPL_CSSY = (
+    "<html><head><style>"
+    ":root { --c: #0a0; --pad: %1$spx; } "
+    ".a, .b { color: var(--c); padding: 2px; } "
+    "#hdr { margin: 0; --local: 7px; } "
+    "@media screen { .a { width: 10px; } } "
+    ".c { .d { x: y; } top: 1px; }"
+    "</style></head>"
+    '<body id="hdr"><p class="a b">%2$s</p></body></html>'
+)
+
 VARIANT_TEMPLATES = {
     "main": HTML_TEMPLATE,
     "voids": TPL_VOIDS,
     "special": TPL_SPECIAL,
     "malformed": TPL_MALFORMED,
+    "cssy": TPL_CSSY,
 }
 
 

@@ -533,3 +533,44 @@ CASES += [
         (12345, "la vie est belle et longue", "fr", "another_source"),
     ])
 ]
+
+# pin the kernel_query_api / css_query_api driver-oracle op lists
+# against the reference (operators/queryapi.py).
+from simple_html_parser_spark.operators.queryapi import (  # noqa: E402
+    QUERY_OPS,
+)
+from simple_html_parser_spark.sources.documents import (  # noqa: E402
+    TPL_CSSY as _CSSY_TPL,
+)
+
+_QOP_MAP = {
+    "qsa": lambda a: {"op": "qsa", "sel": a},
+    "qs": lambda a: {"op": "qs", "sel": a},
+    "by_tag": lambda a: {"op": "find_by_tag", "name": a},
+    "by_attr": lambda a: {"op": "find_by_attr", "name": a},
+    "by_type": lambda a: {"op": "find_by_type", "name": a},
+    "nodes_by_type": lambda a: {"op": "nodes_by_type", "name": a},
+    "comments": lambda a: {"op": "comments"},
+}
+
+CASES += [
+    {"id": "query-api-main",
+     "html": _render_variant(_MAIN_TPL, 7, "hello world foo", "en",
+                             "src1"),
+     "ops": [_QOP_MAP[op](arg) for op, arg in QUERY_OPS]},
+    {"id": "css-query-api-cssy",
+     "html": _render_variant(_CSSY_TPL, 7, "hello world foo", "en",
+                             "src1"),
+     "ops": [
+         {"op": "css_find_at_rules"},
+         {"op": "css_find_rules", "sel": ".a"},
+         {"op": "css_find_rules", "sel": ".a",
+          "options": {"includeCompound": False}},
+         {"op": "css_find_rules", "sel": ".d"},
+         {"op": "css_find_rules", "sel": ".d",
+          "options": {"includeCompound": False}},
+         {"op": "css_find_variables"},
+         {"op": "css_find_variable", "name": "c"},
+         {"op": "extract"},
+     ]},
+]
