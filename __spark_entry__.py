@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_documents_variant(spark, sf, "main"))
     q["css_query_api"] = lambda spark, sf: QA.css_query_api(
         load_documents_variant(spark, sf, "cssy"))
+    q["doc_serialize_api"] = lambda spark, sf: QA.serialize_api(
+        load_documents_variant(spark, sf, "main"))
     q["doc_edit_pipeline"] = lambda spark, sf: ED.edit_roundtrip(
         load_documents_variant(spark, sf, "main")) \
         .select("url", "ed_len", "ed_sha256")
@@ -517,6 +519,27 @@ def oracle_sql() -> dict[str, str]:
             ('var::root', '--pad', ''),
             ('var:#hdr', '--local', '7px')
         ) AS v(kind, name, value)"""
+
+    # serialization API on the fixed main node: getTag / innerHtml /
+    # outerHtml (reference getTag+innerHtml, no close tag) + toString
+    # of the whole doc (toHtml WITH comments); all closed-form
+    _inner = ("'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>"
+              "<p class=\"content\">' || text || '</p>'")
+    _tostr = _render_sql(
+        TPL_MAIN_SERIALIZED.replace(
+            "<footer>", "<!-- id:%1$s --><footer>"))
+    o["doc_serialize_api"] = f"""
+        SELECT {_v_url['main']} AS url, v.kind,
+               CASE v.kind
+                 WHEN 'get_tag' THEN '<main class="main">'
+                 WHEN 'inner_html' THEN {_inner}
+                 WHEN 'outer_html'
+                     THEN '<main class="main">' || {_inner}
+                 ELSE {_tostr}
+               END AS out
+        FROM documents, (VALUES ('get_tag'), ('inner_html'),
+                                ('outer_html'), ('to_string')
+        ) AS v(kind)"""
 
     # parse → querySelector → A2-A4 attr writes → M1-M7 rewrites →
     # toHtml, per url; expected bytes are the closed-form edited

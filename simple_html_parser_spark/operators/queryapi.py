@@ -136,3 +136,48 @@ def css_query_api(df: DataFrame) -> DataFrame:
     """documents(url, html) → cssFindAtRules / cssFindRules (compound
     AND exact) / cssFindVariables results as flat rows."""
     return df.select("url", "html").mapInArrow(_cssq_fn, CSSQ_SCHEMA)
+
+
+# ---- serialization API surface ------------------------------------------------
+
+SER_SCHEMA = "url string, kind string, out string"
+
+_PA_S = pa.schema([
+    ("url", pa.string()), ("kind", pa.string()), ("out", pa.string()),
+])
+
+# node 21 = <main class="main"> in the fixed main template (pinned by
+# nodes_structure_map); outerHtml deliberately omits the close tag —
+# reference getTag+innerHtml semantics (node.js), golden-pinned.
+_SER_MAIN_NODE = 21
+
+
+def _ser_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ..kernel import serialize
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_S.names}
+        for url, raw in zip(urls, htmls):
+            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            for kind, out in (
+                ("get_tag", serialize.get_tag(t, _SER_MAIN_NODE)),
+                ("inner_html", serialize.inner_html(t, _SER_MAIN_NODE)),
+                ("outer_html", serialize.outer_html(t, _SER_MAIN_NODE)),
+                ("to_string", serialize.to_string(t, 0)),
+            ):
+                cols["url"].append(url)
+                cols["kind"].append(kind)
+                cols["out"].append(out)
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_S.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_S)
+
+
+def serialize_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → getTag / innerHtml / outerHtml on the
+    main node + toString of the whole document, as raw strings (all
+    closed-form on the fixed template)."""
+    return df.select("url", "html").mapInArrow(_ser_fn, SER_SCHEMA)

@@ -574,3 +574,18 @@ CASES += [
          {"op": "extract"},
      ]},
 ]
+
+CASES += [
+    # pin the doc_serialize_api op list (operators/queryapi.py):
+    # get_tag/innerHtml/outerHtml on the main node (21) + toHtml with
+    # comments (toString equivalence is covered by serialize goldens)
+    {"id": "serialize-api-main",
+     "html": _render_variant(_MAIN_TPL, 7, "hello world foo", "en",
+                             "src1"),
+     "ops": [
+         {"op": "get_tag", "ctx": 21},
+         {"op": "inner_html", "ctx": 21},
+         {"op": "outer_html", "ctx": 21},
+         {"op": "node_to_html", "ctx": 0, "comments": True},
+     ]},
+]
