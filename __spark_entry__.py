@@ -47,7 +47,8 @@ from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
 )
 from simple_html_parser_spark.sources.documents import (
-    HTML_TEMPLATE, TPL_MAIN_EDITED, TPL_MAIN_SERIALIZED, TPL_MALFORMED,
+    HTML_TEMPLATE, TPL_MAIN_EDITED, TPL_MAIN_SERIALIZED,
+    TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
     load_documents, load_documents_variant, load_table,
 )
@@ -68,6 +69,9 @@ def _render_sql(template: str = HTML_TEMPLATE) -> str:
         "%2$s": "text",
         "%3$s": "lang",
         "%4$s": "source",
+        # visualize text preview: first 17 chars + '...' (corpus texts
+        # are always >20 chars and pre-trimmed)
+        "%5$s": "(substring(text, 1, 17) || '...')",
     }
     out: list[str] = []
     rest = template
@@ -234,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["css_query_api"] = lambda spark, sf: QA.css_query_api(
         load_documents_variant(spark, sf, "cssy"))
     q["doc_serialize_api"] = lambda spark, sf: QA.serialize_api(
+        load_documents_variant(spark, sf, "main"))
+    q["doc_visualize"] = lambda spark, sf: QA.visualize_api(
         load_documents_variant(spark, sf, "main"))
     q["doc_edit_pipeline"] = lambda spark, sf: ED.edit_roundtrip(
         load_documents_variant(spark, sf, "main")) \
@@ -540,6 +546,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents, (VALUES ('get_tag'), ('inner_html'),
                                 ('outer_html'), ('to_string')
         ) AS v(kind)"""
+
+    o["doc_visualize"] = f"""
+        SELECT {_v_url['main']} AS url,
+               {_render_sql(TPL_MAIN_VISUALIZE)} AS viz
+        FROM documents"""
 
     # parse → querySelector → A2-A4 attr writes → M1-M7 rewrites →
     # toHtml, per url; expected bytes are the closed-form edited

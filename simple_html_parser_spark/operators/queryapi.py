@@ -181,3 +181,32 @@ def serialize_api(df: DataFrame) -> DataFrame:
     main node + toString of the whole document, as raw strings (all
     closed-form on the fixed template)."""
     return df.select("url", "html").mapInArrow(_ser_fn, SER_SCHEMA)
+
+
+VIZ_SCHEMA = "url string, viz string"
+
+_PA_V = pa.schema([("url", pa.string()), ("viz", pa.string())])
+
+
+def _viz_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ..kernel import serialize
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {"url": [], "viz": []}
+        for url, raw in zip(urls, htmls):
+            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            cols["url"].append(url)
+            cols["viz"].append(serialize.visualize(t))
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_V.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_V)
+
+
+def visualize_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → visualize(root) per url (S6) — on the
+    fixed template the whole box-drawing dump is closed-form
+    (sources.documents.TPL_MAIN_VISUALIZE)."""
+    return df.select("url", "html").mapInArrow(_viz_fn, VIZ_SCHEMA)

@@ -130,6 +130,33 @@ TPL_CSSY = (
     '<body id="hdr"><p class="a b">%2$s</p></body></html>'
 )
 
+# serialize.visualize of the main template (S6) — fixed box-drawing
+# tree; %5$s marks the truncated text preview (first 17 chars + '...',
+# always truncated: corpus texts are ≥44 chars, pre-trimmed).  css-*
+# node labels are empty — reference's unhandled visualize branches.
+TPL_MAIN_VISUALIZE = (
+    'ROOT\n├── <html>\n│   ├── <head>\n│   │   ├── <title>\n'
+    '│   │   │   └── TEXT: "Doc %1$s"\n│   │   ├── </title>\n'
+    '│   │   ├── <style>\n│   │   │   ├── \n│   │   │   └── \n'
+    '│   │   │       └── \n│   │   └── </style>\n│   ├── </head>\n'
+    '│   ├── <body>\n│   │   ├── <nav class="top">\n'
+    '│   │   │   ├── <a href="/src/%4$s">\n'
+    '│   │   │   │   └── TEXT: "%4$s"\n│   │   │   ├── </a>\n'
+    '│   │   │   ├── <a href="/lang/%3$s">\n'
+    '│   │   │   │   └── TEXT: "%3$s"\n│   │   │   └── </a>\n'
+    '│   │   ├── </nav>\n│   │   ├── <main class="main">\n'
+    '│   │   │   ├── <h1>\n│   │   │   │   └── TEXT: "Doc %1$s"\n'
+    '│   │   │   ├── </h1>\n│   │   │   ├── <p class="content">\n'
+    '│   │   │   │   └── TEXT: "%5$s"\n│   │   │   └── </p>\n'
+    '│   │   ├── </main>\n│   │   ├── <aside>\n'
+    '│   │   │   ├── <a href="/r">\n'
+    '│   │   │   │   └── TEXT: "related"\n│   │   │   └── </a>\n'
+    '│   │   ├── </aside>\n'
+    '│   │   ├── COMMENT (html-comment): "id:%1$s"\n'
+    '│   │   ├── <footer>\n│   │   │   └── TEXT: "corpus footer"\n'
+    '│   │   └── </footer>\n│   └── </body>\n└── </html>\n'
+)
+
 VARIANT_TEMPLATES = {
     "main": HTML_TEMPLATE,
     "voids": TPL_VOIDS,

@@ -589,3 +589,12 @@ CASES += [
          {"op": "node_to_html", "ctx": 0, "comments": True},
      ]},
 ]
+
+CASES += [
+    # pin doc_visualize (S6) on the main template
+    {"id": "visualize-main",
+     "html": _render_variant(_MAIN_TPL, 7,
+                             "hello world foo bar baz beyond twenty",
+                             "en", "src1"),
+     "ops": [{"op": "visualize"}]},
+]
