@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .jsre import js_trim
+from .jsre import JS_WS_SET, js_trim
 from .tree import TAG_OPEN, TEXT, FlatTree
 
 # Frozen extraction blacklist (FIXTURES.md §6).
@@ -84,7 +84,10 @@ def _candidates(tree: FlatTree, profile: ExtractionProfile):
                 continue  # skip entire subtree
             anc = nid
         elif ty == TEXT:
-            if js_trim(tree.content[nid]) != "":
+            # fast path: a non-ws first char means the trim is
+            # non-empty — skips the strip copy for ~all real text
+            c = tree.content[nid]
+            if c and (c[0] not in JS_WS_SET or js_trim(c) != ""):
                 out.append((nid, anc))
             continue
         for c in reversed(children[nid]):
@@ -109,7 +112,8 @@ def _parity_candidates(tree: FlatTree, profile: ExtractionProfile):
         nid = pop()
         ty = ttype[nid]
         if ty == TEXT:
-            if js_trim(content[nid]) != "":
+            c = content[nid]
+            if c and (c[0] not in JS_WS_SET or js_trim(c) != ""):
                 out.append(nid)
             continue
         if ty == TAG_OPEN and (

@@ -28,6 +28,7 @@ JS_WS_CHARS = (
     "    　﻿"
 )
 _WS = re.escape(JS_WS_CHARS)
+JS_WS_SET = frozenset(JS_WS_CHARS)
 
 # /\s+/ as used by the reference for tag-content splitting.
 WS_PLUS = re.compile(f"[{_WS}]+")
