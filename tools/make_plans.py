@@ -29,6 +29,15 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "serialization round-trip: union of 4 rendered variants, still a "
      "single MapInArrow per branch, scan pruned to 4 columns",
      ["MapInArrow"], []),
+    ("doc_edit_pipeline",
+     "parse → query → mutate → serialize, one MapInArrow stage",
+     ["MapInArrow"], []),
+    ("kernel_query_api",
+     "selector engine per doc, one MapInArrow stage, no shuffle",
+     ["MapInArrow"], ["Exchange"]),
+    ("css_query_api",
+     "cssFind* per doc, one MapInArrow stage, no shuffle",
+     ["MapInArrow"], ["Exchange"]),
     ("dedup_ngram_jaccard",
      "shingle self-join co-partitioned; df-cut via broadcast "
      "anti-join; sizes joined via BroadcastHashJoin (exact oracle "
