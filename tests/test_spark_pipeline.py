@@ -225,3 +225,27 @@ def test_streaming_stateful_dedup(spark, docs, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(outp)
     assert got.count() == got.select("url").distinct().count() == 35
+
+
+def test_invalid_utf8_and_binary_garbage(spark, docs):
+    """Crawl tails contain broken encodings: invalid UTF-8 and binary
+    junk must yield rows (replacement-decoded or error-marked), never
+    task failures or silent drops."""
+    from pyspark.sql import Row
+    garbage = spark.createDataFrame([
+        Row(url="bad://utf8",
+            html=bytearray(b"<html><body><p>caf\xe9 \xff\xfe</p></body></html>")),
+        Row(url="bad://binary",
+            html=bytearray(bytes(range(256)) * 4)),
+        Row(url="bad://empty", html=bytearray(b"")),
+    ])
+    corpus = docs.limit(5).select("url", "html").unionByName(garbage)
+    ext = {r.url: r for r in extract_documents(corpus).collect()}
+    assert len(ext) == 8
+    assert all(r.error is None for r in ext.values())  # none are fatal
+    assert "caf�" in ext["bad://utf8"].extracted_text
+    nodes = parse_nodes(corpus)
+    assert nodes.select("url").distinct().count() >= 7  # empty doc has
+    # only a root row or none — but the two garbage docs must be there
+    urls = {r.url for r in nodes.select("url").distinct().collect()}
+    assert {"bad://utf8", "bad://binary"} <= urls
