@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (0 rows both sides, VERDICT r01 item 6); 0.4 yields 5 / 86 pairs
     q["embedding_dedup"] = lambda spark, sf: S.embedding_knn_dedup(
         load_table(spark, sf, "embeddings"), threshold=0.4)
+    # SRP-LSH: the no-quantizer 10^12-vector shape (random-hyperplane
+    # buckets instead of the label column)
+    q["embedding_srp_lsh"] = lambda spark, sf: S.embedding_srp_lsh_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.4)
 
     # ---- text analysis ----
     q["token_stats"] = lambda spark, sf: T.token_count_cols(
@@ -674,6 +678,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
+
+    # SRP-LSH replayed in SQL: identical LCG-derived hyperplanes (from
+    # operators/similarity.srp_planes — single source of truth), same
+    # band keys, same exact-cosine verification
+    _planes = S.srp_planes(32, 64)
+    _plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}])"
+        for j, p in enumerate(_planes))
+    o["embedding_srp_lsh"] = f"""
+        WITH planes AS (
+            SELECT * FROM (VALUES {_plane_rows}) AS p(pid, w)),
+        bits AS (
+            SELECT e.vec_id, p.pid,
+                   CASE WHEN list_inner_product(
+                            CAST(e.embedding AS DOUBLE[]), p.w) >= 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM embeddings e, planes p),
+        keys AS (
+            SELECT vec_id, pid // 8 AS band,
+                   CAST(SUM(bit << (pid % 8)) AS BIGINT) AS key
+            FROM bits GROUP BY 1, 2),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM keys a JOIN keys b
+              ON a.band = b.band AND a.key = b.key
+             AND a.vec_id < b.vec_id)
+        SELECT va AS vec_a, vb AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM cands
+        JOIN embeddings ea ON ea.vec_id = va
+        JOIN embeddings eb ON eb.vec_id = vb
+        WHERE round(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4"""
 
     o["token_stats"] = f"""
         WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks

@@ -92,6 +92,72 @@ def ivf_topk(
     )
 
 
+# --- SRP-LSH (signed random projections, Charikar 2002) -----------------
+# Deterministic hyperplanes from a hand-rolled LCG so the DuckDB oracle
+# can embed the SAME constants: plane[j][d] uniform in [-1, 1).
+_LCG_M = 2147483647
+_LCG_A = 48271
+
+
+def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
+    state = 20240816
+    out = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * _LCG_A) % _LCG_M
+            row.append(round(state / _LCG_M * 2.0 - 1.0, 9))
+        out.append(row)
+    return out
+
+
+def embedding_srp_lsh_dedup(
+    embeddings: DataFrame, threshold: float = 0.4,
+    num_planes: int = 32, bands: int = 4, dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vector pairs WITHOUT a precomputed coarse label:
+    signed-random-projection LSH.  bit j = sign(v·plane_j); the bits
+    split into ``bands`` band keys; vectors sharing any (band, key)
+    bucket become candidates; candidates are verified with exact
+    cosine ≥ τ.  This is the 10^12-vector shape when no quantizer
+    exists yet — bucket join + candidate-restricted verify, never
+    all-pairs.  (P[bit match] = 1 − θ/π, so recall is banding-
+    dependent; the oracle replays the identical projection in SQL.)"""
+    planes = srp_planes(num_planes, dim)
+    bits_per_band = num_planes // bands
+    v = F.col("embedding")
+    bit_cols = [
+        (F.when(_dot(v, F.array(*[F.lit(x) for x in p])) >= 0, 1)
+         .otherwise(0)).alias(f"b{j}")
+        for j, p in enumerate(planes)
+    ]
+    sig = embeddings.select("vec_id", "embedding", *bit_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(F.col(f"b{b * bits_per_band + r}") * (1 << r)
+                for r in range(bits_per_band)).alias("key"),
+        ) for b in range(bands)
+    ]
+    banded = sig.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+                .alias("cos_sim"))
+        .distinct()
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_knn_dedup(
     embeddings: DataFrame, threshold: float = 0.9,
 ) -> DataFrame:
