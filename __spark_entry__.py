@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
+from simple_html_parser_spark.operators import curation as CU
 from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
@@ -291,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_distribution"] = lambda spark, sf: T.lang_distribution(
         _raw_docs(spark, sf))
     q["clean_text"] = lambda spark, sf: T.clean_text(_raw_docs(spark, sf))
+    q["repetition_stats"] = lambda spark, sf: T.repetition_stats(
+        _raw_docs(spark, sf))
+    # end-to-end curation: lang agreement + quality floor + exact dedup
+    # + LSH near-dup dedup, composed in one declarative plan
+    q["curation_pipeline"] = lambda spark, sf: CU.curate(
+        _raw_docs(spark, sf))
 
     # ---- multimodal plumbing ----
     q["binary_meta"] = lambda spark, sf: MM.binary_metadata(
@@ -780,6 +787,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang"""
+
+    # Gopher-style repetition: dup-token basis points + token mass of
+    # the modal 2-gram (Spark computes the mode via a run-length scan
+    # over the sorted 2-gram array; the oracle via group-by max count —
+    # same integer, integer arithmetic both sides)
+    o["repetition_stats"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN list_transform(
+                          range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS grams,
+                     len(t) AS n,
+                     len(list_distinct(t)) AS nd
+              FROM t),
+        m AS (SELECT doc_id, max(c) AS best FROM (
+                  SELECT doc_id, gg, count(*) AS c
+                  FROM (SELECT doc_id, unnest(grams) AS gg FROM g)
+                  GROUP BY doc_id, gg)
+              GROUP BY doc_id)
+        SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_tokens,
+               CAST((g.n - g.nd) * 10000 // greatest(g.n, 1) AS BIGINT)
+                   AS dup_token_bp,
+               CAST(coalesce(m.best, 0) * 2 * 10000
+                    // greatest(g.n, 1) AS BIGINT) AS top2gram_bp
+        FROM g LEFT JOIN m USING (doc_id)"""
+
+    # end-to-end curation, composed from the already-verified CTEs:
+    # near-dup losers via the recursive-CTE component labels (exact
+    # pair graph — Spark uses LSH pairs, recall 1.0 on this corpus,
+    # same property the dedup_clusters gate already pins)
+    o["curation_pipeline"] = f"""
+        WITH RECURSIVE {_EXF_CTES},
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30),
+        edges AS (SELECT doc_a, doc_b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, other) AS (
+            SELECT doc_a, doc_b FROM edges
+            UNION
+            SELECT r.doc_id, e.doc_b FROM reach r
+            JOIN edges e ON e.doc_a = r.other),
+        losers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, least(doc_id, min(other)) AS cid
+                FROM reach GROUP BY doc_id)
+            WHERE doc_id <> cid),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY text),
+        qb AS (
+            SELECT doc_id,
+                   (least(CAST(length(text) AS BIGINT) * 20, 10000)
+                    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                 'g')) AS BIGINT)
+                      * 10000 // greatest(length(text), 1)) // 2
+                   - CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                                                'g')) AS BIGINT)
+                     * 10000 // greatest(length(text), 1) AS quality_bp
+            FROM documents),
+        lt AS (SELECT doc_id, {_TOKS_SQL} AS ltoks FROM documents),
+        lranked AS (
+            SELECT doc_id, s.lang AS pred_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY len(list_intersect(ltoks, s.words))
+                                DESC, s.lang DESC) AS rk
+            FROM lt, (VALUES {stop_sql}) AS s(lang, words)),
+        lp AS (SELECT doc_id, pred_lang FROM lranked WHERE rk = 1)
+        SELECT d.doc_id, lp.pred_lang,
+               CAST(qb.quality_bp AS BIGINT) AS quality_bp
+        FROM documents d
+        JOIN lp USING (doc_id)
+        JOIN qb USING (doc_id)
+        WHERE lp.pred_lang = d.lang AND qb.quality_bp >= 5500
+          AND d.doc_id IN (SELECT doc_id FROM keepers)
+          AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
 
     o["binary_meta"] = f"""
         SELECT {_URL_SQL} AS url,

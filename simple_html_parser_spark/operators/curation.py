@@ -1,0 +1,54 @@
+"""End-to-end training-data curation: the composition every LLM data
+pipeline runs, expressed as one declarative DataFrame plan so Catalyst
+sees the whole thing (filter pushdown + shared scans):
+
+    documents
+      → language agreement  (lang_id prediction == declared lang)
+      → quality floor       (integer quality_bp ≥ cutoff)
+      → exact dedup         (keep min doc_id per text)
+      → near-dup dedup      (keep each LSH cluster's min doc_id)
+      → curated set
+
+Every stage is one of the already-oracled operators; the composed
+output is itself oracle-checked (the DuckDB side composes the same
+CTEs).  At 10^12 docs the joins are: one hash-agg on text (or
+fingerprint), the LSH candidate pipeline, and two broadcast-able
+anti-joins against loser sets (losers are a small fraction of the
+corpus by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters, dedup_exact
+from .textstats import lang_id, quality_score
+
+
+def curate(
+    docs: DataFrame,
+    quality_min_bp: int = 5500,
+    near_dup_threshold: float = 0.30,
+) -> DataFrame:
+    """(doc_id, pred_lang, quality_bp) for documents surviving all four
+    filters."""
+    quality = quality_score(docs).select("doc_id", "quality_bp")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    base = (
+        docs.select("doc_id", "lang")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .where((F.col("pred_lang") == F.col("lang"))
+               & (F.col("quality_bp") >= quality_min_bp))
+    )
+    exact_keep = dedup_exact(docs).select("doc_id")
+    # near-dup losers: cluster members that are not the representative
+    clusters = dedup_clusters(docs, threshold=near_dup_threshold)
+    near_losers = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        base.join(exact_keep, "doc_id", "left_semi")
+        .join(F.broadcast(near_losers), "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality_bp")
+    )

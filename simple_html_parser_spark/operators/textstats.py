@@ -127,3 +127,60 @@ def clean_text(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", cleaned.alias("clean_text"),
         F.length(cleaned).cast("bigint").alias("clean_len"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 —
+    public filtering recipe), all integer/exact so the DuckDB oracle
+    matches bit-for-bit:
+
+    - dup_token_bp: 10000 * (n_tokens - n_distinct_tokens) / n_tokens
+    - top2gram_bp: 10000 * occurrences_of_most_frequent_2gram * 2
+                   / n_tokens (token mass in the modal 2-gram)
+
+    Pure per-row array expressions (no shuffle): the 2-gram mode is
+    computed by sorting the 2-gram array and scanning run lengths via
+    aggregate."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    grams = F.col("_grams")
+    # run-length scan over the SORTED 2-gram array: aggregate carries
+    # (prev, run, best)
+    best_run = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("int").alias("run"),
+                 F.lit(0).cast("int").alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"],
+    )
+    return (
+        docs
+        .withColumn("_toks", tokens_col())
+        .withColumn("_grams", F.when(
+            F.size(F.col("_toks")) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_toks")) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_toks"), i + 1),
+                    F.element_at(F.col("_toks"), i + 2)))
+        ).otherwise(F.array().cast("array<string>")))
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.floor((n - n_distinct) * 10000
+                    / F.greatest(n, F.lit(1))).cast("bigint")
+            .alias("dup_token_bp"),
+            F.floor(F.coalesce(best_run, F.lit(0)) * 2 * 10000
+                    / F.greatest(n, F.lit(1))).cast("bigint")
+            .alias("top2gram_bp"),
+        )
+    )
