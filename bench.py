@@ -146,11 +146,13 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry.queries()
     names = [
         "extract_parity", "extract_main_content", "nodes_type_counts",
-        "doc_links", "dedup_exact", "dedup_ngram_jaccard",
+        "doc_links", "doc_roundtrip", "doc_edit_pipeline",
+        "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "sim_topk", "ann_ivf_topk",
-        "token_stats", "quality_score", "doc_fingerprint", "lang_id",
-        "clean_text", "binary_meta", "q1_pricing", "q3_top_orders", "events_topk",
-        "part_shipped",
+        "embedding_srp_lsh", "token_stats", "quality_score",
+        "doc_fingerprint", "lang_id", "clean_text", "repetition_stats",
+        "curation_pipeline", "binary_meta", "q1_pricing",
+        "q3_top_orders", "events_topk", "part_shipped",
     ]
     trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))
     out = {}
