@@ -304,6 +304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["image_features_stub"] = lambda spark, sf: MM.extract_image_features(
         _docs(spark, sf))
+    q["audio_features_stub"] = lambda spark, sf: MM.extract_audio_features(
+        _docs(spark, sf))
+    q["frame_sample"] = lambda spark, sf: MM.frame_sample(
+        _docs(spark, sf))
 
     # ---- relational built-ins ----
     q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
@@ -930,6 +934,33 @@ def oracle_sql() -> dict[str, str]:
                false AS decoded,
                'stub-decoder: deterministic fake dims' AS note
         FROM b"""
+
+    # audio stub: deterministic fake meta, closed-form over page bytes
+    o["audio_features_stub"] = f"""
+        WITH b AS (SELECT {_URL_SQL} AS url,
+                          octet_length(encode({render})) AS n
+                   FROM documents)
+        SELECT url, CAST(n AS BIGINT) AS n_bytes,
+               CAST(16000 + (n % 3) * 8000 AS INTEGER) AS sample_rate,
+               CAST(n * 4 AS BIGINT) AS n_samples,
+               CAST(n * 4 * 1000 // (16000 + (n % 3) * 8000) AS BIGINT)
+                   AS duration_ms,
+               false AS decoded,
+               'stub-decoder: deterministic fake audio meta' AS note
+        FROM b"""
+
+    # frame sampling: 4 evenly-spaced char windows + sha256 per window
+    o["frame_sample"] = f"""
+        WITH s AS (SELECT {_URL_SQL} AS url, {render} AS page
+                   FROM documents)
+        SELECT url, CAST(v.i AS INTEGER) AS frame_idx,
+               CAST(floor(v.i * length(page) / 4.0) AS BIGINT)
+                   AS frame_offset,
+               sha256(substring(
+                   page,
+                   CAST(floor(v.i * length(page) / 4.0) AS BIGINT) + 1,
+                   4096)) AS frame_sha256
+        FROM s, (VALUES (0), (1), (2), (3)) AS v(i)"""
 
     # simhash: DuckDB has no xxhash64, so the oracle reads an
     # INDEPENDENT golden (tools/make_simhash_golden.py: pure-Python

@@ -68,3 +68,77 @@ def extract_image_features(
                 yield feats
 
     return df.select("url", col).mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "url string, n_bytes bigint, sample_rate int, n_samples bigint, "
+    "duration_ms bigint, decoded boolean, note string"
+)
+
+
+def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
+    """STUB audio decode (no soundfile/ffmpeg in this container):
+    deterministic fake header parse preserving the real signature —
+    bytes → (sample_rate, n_samples, duration_ms).  A production
+    build swaps the body for soundfile/librosa."""
+    n = payloads.map(
+        lambda b: 0 if b is None else len(b)).to_numpy(dtype="int64")
+    rate = (16000 + (n % 3) * 8000).astype("int32")  # 16/24/32 kHz fake
+    samples = n * 4  # fake: 4 samples per byte
+    return pd.DataFrame({
+        "n_bytes": n,
+        "sample_rate": rate,
+        "n_samples": samples,
+        "duration_ms": (samples * 1000 // rate).astype("int64"),
+        "decoded": [False] * len(n),
+        "note": ["stub-decoder: deterministic fake audio meta"] * len(n),
+    })
+
+
+def extract_audio_features(
+    df: DataFrame, col: str = "html", batch_rows: int = 256,
+) -> DataFrame:
+    """Same Arrow-batched mapInPandas shape as the image path."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                feats = decode_audio_batch(chunk[col])
+                feats.insert(0, "url", chunk["url"].values)
+                yield feats
+
+    return df.select("url", col).mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "url string, frame_idx int, frame_offset bigint, frame_sha256 string"
+)
+
+
+def frame_sample(
+    df: DataFrame, col: str = "html", n_frames: int = 4,
+    frame_chars: int = 4096,
+) -> DataFrame:
+    """Video frame-sampling plumbing: emit ``n_frames`` evenly-spaced
+    windows per payload with their digests — the REAL Spark shape
+    (explode-per-frame rows, deterministic offsets, one digest per
+    window) with the codec decode left to a production ffmpeg UDF.
+    Pure built-ins, no Python: offsets via sequence + floor, windows
+    via substr, sha2 digest.  Windows are char-offsets over the
+    utf-8-decoded payload so the DuckDB oracle (char-based substring)
+    matches exactly; a real video build slices bytes instead."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias(
+        "frame_idx")
+    out = df.select(
+        "url", F.decode(F.col(col), "utf-8").alias("_s"), idx)
+    off = F.floor(
+        F.col("frame_idx").cast("bigint")
+        * F.length("_s").cast("bigint") / n_frames).cast("bigint")
+    return out.select(
+        "url",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        off.alias("frame_offset"),
+        F.sha2(F.col("_s").substr(
+            (off + 1).cast("int"), F.lit(frame_chars)), 256)
+        .alias("frame_sha256"),
+    )
