@@ -59,6 +59,15 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
     ("ann_ivf_topk",
      "probed labels BroadcastHashJoin into the scan",
      ["BroadcastHashJoin", "TakeOrderedAndProject"], []),
+    ("curation_pipeline",
+     "end-to-end composition: LeftSemi against exact-dup keepers, "
+     "broadcast anti-join against near-dup losers, quality/lang "
+     "filters pushed into the shared scans",
+     ["LeftSemi", "BroadcastHashJoin"], []),
+    ("frame_sample",
+     "windowed digests via explode+substr+sha2 — pure built-ins, "
+     "whole-stage codegen, no Python stage",
+     ["Generate"], ["MapInArrow", "MapInPandas"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
