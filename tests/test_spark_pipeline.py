@@ -249,3 +249,15 @@ def test_invalid_utf8_and_binary_garbage(spark, docs):
     # only a root row or none — but the two garbage docs must be there
     urls = {r.url for r in nodes.select("url").distinct().collect()}
     assert {"bad://utf8", "bad://binary"} <= urls
+
+
+def test_cluster_lineage_truncated(spark):
+    """VERDICT r01 item 3 'done' criterion: the label frame's plan must
+    NOT contain the iteration joins — localCheckpoint truncates lineage
+    each round, so iteration k never recomputes iterations 1..k-1."""
+    from simple_html_parser_spark.operators.dedup import dedup_clusters
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = dedup_clusters(raw, threshold=0.30)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
