@@ -255,15 +255,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup_exact_q(spark, sf)
     q["dedup_ngram_jaccard"] = lambda spark, sf: (
-        D.dedup_ngram_jaccard(_raw_docs(spark, sf), threshold=0.30))
+        D.dedup_ngram_jaccard(_raw_docs(spark, sf), threshold=0.30,
+                              max_shingle_df="auto"))
     q["dedup_minhash_lsh"] = lambda spark, sf: (
-        D.dedup_minhash_lsh(_raw_docs(spark, sf), threshold=0.30))
+        D.dedup_minhash_lsh(_raw_docs(spark, sf), threshold=0.30,
+                            max_shingle_df="auto"))
     q["dedup_simhash"] = lambda spark, sf: (
         D.dedup_simhash(_raw_docs(spark, sf), max_hamming=3))
     q["simhash_signatures"] = lambda spark, sf: (
         D.simhash_signatures(_raw_docs(spark, sf)))
     q["dedup_clusters"] = lambda spark, sf: (
-        D.dedup_clusters(_raw_docs(spark, sf), threshold=0.30))
+        D.dedup_clusters(_raw_docs(spark, sf), threshold=0.30,
+                         max_shingle_df="auto"))
+    # df-cut observability: how many docs lose ALL their shingles to
+    # the "auto" boilerplate cut (no-silent-drop principle)
+    q["shingle_drop_stats"] = lambda spark, sf: (
+        D.shingle_drop_stats(_raw_docs(spark, sf)))
 
     # ---- similarity / ANN ----
     q["sim_topk"] = lambda spark, sf: S.cosine_topk(
@@ -633,6 +640,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                least(doc_id, min(other)) AS cluster_id
         FROM reach GROUP BY doc_id"""
+
+    # df-cut observability: docs losing ALL shingles to the auto cut
+    o["shingle_drop_stats"] = f"""
+        WITH {_EXF_CTES}
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM documents d
+                WHERE NOT EXISTS (SELECT 1 FROM exf e
+                                  WHERE e.doc_id = d.doc_id))
+               AS n_docs_no_shingles"""
 
     o["clean_text"] = """
         WITH c AS (

@@ -12,9 +12,10 @@ sees the whole thing (filter pushdown + shared scans):
 Every stage is one of the already-oracled operators; the composed
 output is itself oracle-checked (the DuckDB side composes the same
 CTEs).  At 10^12 docs the joins are: one hash-agg on text (or
-fingerprint), the LSH candidate pipeline, and two broadcast-able
-anti-joins against loser sets (losers are a small fraction of the
-corpus by construction).
+fingerprint), the LSH candidate pipeline, and anti-joins against the
+loser sets.  Loser-set size is corpus-dependent (a duplication-heavy
+crawl makes it corpus-proportional), so broadcast decisions are left
+to AQE rather than forced.
 """
 
 from __future__ import annotations
@@ -43,12 +44,20 @@ def curate(
                & (F.col("quality_bp") >= quality_min_bp))
     )
     exact_keep = dedup_exact(docs).select("doc_id")
-    # near-dup losers: cluster members that are not the representative
-    clusters = dedup_clusters(docs, threshold=near_dup_threshold)
+    # near-dup losers: cluster members that are not the representative.
+    # The "auto" df-cut is explicit (dedup defaults are None): see
+    # dedup.shingle_drop_stats for the observability counterpart.
+    clusters = dedup_clusters(docs, threshold=near_dup_threshold,
+                              max_shingle_df="auto")
     near_losers = clusters.where(
         F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    # NO forced broadcast on near_losers: on a duplication-heavy crawl
+    # the loser set is corpus-proportional (7/8 of docs in SCALE.md's
+    # crossover corpus), so a mandatory BroadcastExchange would collect
+    # it to the driver and OOM at 10^12 docs.  Left to AQE, which
+    # broadcasts only when the measured size is under the threshold.
     return (
         base.join(exact_keep, "doc_id", "left_semi")
-        .join(F.broadcast(near_losers), "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "quality_bp")
     )

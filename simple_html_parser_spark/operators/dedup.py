@@ -76,6 +76,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # near-dup signal.  Corpus stats justify the floor: the synthetic corpus
 # maxes out at df=25 on 5000 docs (0.5%), so the cut only fires on
 # genuinely viral shingles.  Mirrored EXACTLY in the DuckDB oracles.
+#
+# The cut is OPT-IN (defaults are None): a doc whose shingles are ALL
+# boilerplate ends up with no shingles → no signature → invisible to
+# near-dup detection.  Callers enabling "auto" should surface
+# ``shingle_drop_stats`` so that loss is observable, never silent.
 AUTO_DF_FLOOR = 50
 AUTO_DF_FRACTION = 0.01
 
@@ -114,17 +119,58 @@ def _shingle_exploded(docs: DataFrame, n: int,
     return ex
 
 
+def shingle_drop_stats(
+    docs: DataFrame, n: int = 3,
+    max_shingle_df: int | str | None = "auto",
+) -> DataFrame:
+    """Observability for the df-cut (no-silent-drop principle): one row
+    (n_docs, n_docs_no_shingles) where the second count is documents
+    whose shingles are ALL above the cut — such docs carry no signature
+    and are invisible to the near-dup operators.  Run alongside any
+    pipeline that enables ``max_shingle_df`` and alert when the dropped
+    fraction is non-trivial."""
+    ex = _shingle_exploded(docs, n, max_shingle_df)
+    survivors = ex.select("doc_id").distinct()
+    return (
+        docs.select("doc_id")
+        .join(survivors, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_docs_no_shingles"))
+        .crossJoin(F.broadcast(
+            docs.agg(F.count("*").alias("n_docs"))))
+        .select("n_docs", "n_docs_no_shingles")
+    )
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | str | None = "auto",
+    max_shingle_df: int | str | None = None,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard pairs ≥ threshold:
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Shuffle plan: explode → self-join on shingle (co-partitioned by
     shingle hash) → pair-count aggregate.  Cost is Σ df(sh)², which the
-    df-cut bounds at scale."""
-    ex = _shingle_exploded(docs, n, max_shingle_df)
+    df-cut bounds at scale.
+
+    ``unpersist_handles``: tokenization is the dominant per-byte cost,
+    so the exploded (doc_id, sh) frame is persisted and shared by the
+    df-cut, the size aggregate, and the self-join.  The cache lives
+    until the session ends unless the caller passes a list here and
+    unpersists its entries once the returned frame is materialized."""
+    from pyspark import StorageLevel
+
+    ex_raw = _exploded_shingles(docs, n)
+    if max_shingle_df:
+        # ONE tokenize+shingle pass shared by df-cut + join + sizes
+        # (previously the cut recomputed the exploded frame — the r2
+        # bench regression on this query)
+        ex_raw = ex_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handles is not None:
+            unpersist_handles.append(ex_raw)
+    hot = _hot_shingles(docs, n, max_shingle_df, exploded=ex_raw)
+    ex = ex_raw if hot is None \
+        else ex_raw.join(F.broadcast(hot), "sh", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = ex.alias("a")
@@ -179,7 +225,8 @@ def minhash_signatures(
 def dedup_minhash_lsh(
     docs: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8,
     threshold: float = 0.8, max_bucket: int = 64,
-    max_shingle_df: int | str | None = "auto",
+    max_shingle_df: int | str | None = None,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """MinHash banding: docs sharing any (band, band-signature) bucket
     become candidates; candidates are verified with EXACT n-gram
@@ -202,6 +249,12 @@ def dedup_minhash_lsh(
     # sets are all cheap derivations of it.  Tokenization is the
     # dominant per-byte cost, so it must not run 3x.  MEMORY_AND_DISK:
     # at scale the exploded frame spills rather than recomputing.
+    # Cache lifetime: the three persisted frames stay cached until the
+    # session ends (eviction handles pressure) unless the caller passes
+    # ``unpersist_handles`` and releases them after materializing the
+    # result — kept caller-controlled because unpersisting eagerly here
+    # would either force evaluation or silently drop fault-tolerant
+    # recompute lineage at cluster scale.
     ex_raw = _exploded_shingles(docs, n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     hot = _hot_shingles(docs, n, max_shingle_df, exploded=ex_raw)
@@ -211,6 +264,9 @@ def dedup_minhash_lsh(
     # banded self-join doesn't aggregate twice
     sigs = minhash_signatures(docs, n, num_hashes, exploded=ex) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_handles is not None:
+        unpersist_handles.append(ex_raw)
+        unpersist_handles.append(sigs)
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -240,6 +296,8 @@ def dedup_minhash_lsh(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if unpersist_handles is not None:
+        unpersist_handles.append(cands)
     # candidate-restricted exact-Jaccard verification: shingle sets of
     # candidate docs only (left_semi prune on the persisted exploded
     # frame), one array_intersect per candidate pair.  NO all-pairs
@@ -343,7 +401,7 @@ def dedup_simhash(
 
 def dedup_clusters(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | str | None = "auto", max_iters: int = 20,
+    max_shingle_df: int | str | None = None, max_iters: int = 20,
     pairs: DataFrame | None = None, source: str = "lsh",
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph →

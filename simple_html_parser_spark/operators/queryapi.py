@@ -68,13 +68,22 @@ def _query_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         htmls = batch.column("html").to_pylist()
         cols = {name: [] for name in _PA_Q.names}
         for url, raw in zip(urls, htmls):
-            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
-            for op, arg in QUERY_OPS:
+            # per-doc isolation: one unparseable / over-max_nodes page
+            # yields a marker row (op='error'), never a failed task —
+            # at 10^12 docs the tail WILL contain such pages.
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+                for op, arg in QUERY_OPS:
+                    cols["url"].append(url)
+                    cols["op"].append(op)
+                    cols["arg"].append(arg)
+                    cols["ids"].append(
+                        ",".join(str(i) for i in _run_query_op(t, op, arg)))
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
                 cols["url"].append(url)
-                cols["op"].append(op)
-                cols["arg"].append(arg)
-                cols["ids"].append(
-                    ",".join(str(i) for i in _run_query_op(t, op, arg)))
+                cols["op"].append("error")
+                cols["arg"].append(f"{type(e).__name__}: {e}")
+                cols["ids"].append("")
         if cols["url"]:
             yield pa.RecordBatch.from_pydict(
                 {k: pa.array(v, type=_PA_Q.field(k).type)
@@ -111,7 +120,11 @@ def _cssq_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             cols["value"].append(value)
 
         for url, raw in zip(urls, htmls):
-            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                emit(url, "error", type(e).__name__, str(e))
+                continue
             for nid in cssquery.css_find_at_rules(t, 0):
                 emit(url, "at_rule", t.css_name[nid],
                      t.css_params[nid] or "")
@@ -159,13 +172,25 @@ def _ser_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         htmls = batch.column("html").to_pylist()
         cols = {name: [] for name in _PA_S.names}
         for url, raw in zip(urls, htmls):
-            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
-            for kind, out in (
-                ("get_tag", serialize.get_tag(t, _SER_MAIN_NODE)),
-                ("inner_html", serialize.inner_html(t, _SER_MAIN_NODE)),
-                ("outer_html", serialize.outer_html(t, _SER_MAIN_NODE)),
-                ("to_string", serialize.to_string(t, 0)),
-            ):
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+                # guard the pinned main-node id against non-template
+                # inputs (short trees / node 21 not a tag-open)
+                if _SER_MAIN_NODE >= len(t) or \
+                        t.name[_SER_MAIN_NODE] != "main":
+                    raise ValueError(
+                        f"doc does not match the main template "
+                        f"(len={len(t)}) — serialize_api targets the "
+                        f"fixed corpus")
+                rows = (
+                    ("get_tag", serialize.get_tag(t, _SER_MAIN_NODE)),
+                    ("inner_html", serialize.inner_html(t, _SER_MAIN_NODE)),
+                    ("outer_html", serialize.outer_html(t, _SER_MAIN_NODE)),
+                    ("to_string", serialize.to_string(t, 0)),
+                )
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                rows = (("error", f"{type(e).__name__}: {e}"),)
+            for kind, out in rows:
                 cols["url"].append(url)
                 cols["kind"].append(kind)
                 cols["out"].append(out)
@@ -195,9 +220,13 @@ def _viz_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         htmls = batch.column("html").to_pylist()
         cols = {"url": [], "viz": []}
         for url, raw in zip(urls, htmls):
-            t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+                viz = serialize.visualize(t)
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                viz = f"ERROR {type(e).__name__}: {e}"
             cols["url"].append(url)
-            cols["viz"].append(serialize.visualize(t))
+            cols["viz"].append(viz)
         if cols["url"]:
             yield pa.RecordBatch.from_pydict(
                 {k: pa.array(v, type=_PA_V.field(k).type)

