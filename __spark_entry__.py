@@ -52,6 +52,7 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
     load_documents, load_documents_variant, load_table,
+    render_png, render_wav,
 )
 
 # ---------------------------------------------------------------------------
@@ -236,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("attrs")["value"].alias("value")))
     q["kernel_query_api"] = lambda spark, sf: QA.kernel_query_api(
         load_documents_variant(spark, sf, "main"))
+    q["kernel_iterator_api"] = lambda spark, sf: QA.iterator_api(
+        load_documents_variant(spark, sf, "voids"))
     q["css_query_api"] = lambda spark, sf: QA.css_query_api(
         load_documents_variant(spark, sf, "cssy"))
     q["doc_serialize_api"] = lambda spark, sf: QA.serialize_api(
@@ -278,6 +281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
         nprobe=2)
+    # learned coarse quantizer: fixed-seed integer-exact k-means, no
+    # label column needed (the 10^12-vector unlabeled shape)
+    q["ann_kmeans_topk"] = lambda spark, sf: S.ann_kmeans_topk(
+        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
+        n_clusters=8, iters=2, nprobe=2)
     # τ=0.4: the synthetic embeddings max out at cos≈0.47 (sf0.01) /
     # 0.51 (sf0.1) within a label bucket — 0.8 made the check vacuous
     # (0 rows both sides, VERDICT r01 item 6); 0.4 yields 5 / 86 pairs
@@ -315,6 +323,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["frame_sample"] = lambda spark, sf: MM.frame_sample(
         _docs(spark, sf))
+    # REAL header decoders over synthesized closed-form PNG/WAV
+    # payloads (decoded=true — the stub fallback only fires on
+    # unknown magic, exercised by the *_stub queries above)
+    q["image_features"] = lambda spark, sf: MM.extract_image_features(
+        render_png(_raw_docs(spark, sf)), col="payload")
+    q["audio_features"] = lambda spark, sf: MM.extract_audio_features(
+        render_wav(_raw_docs(spark, sf)), col="payload")
 
     # ---- relational built-ins ----
     q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
@@ -508,6 +523,22 @@ def oracle_sql() -> dict[str, str]:
         FROM documents""")
     o["doc_roundtrip"] = " UNION ALL ".join(_rt_parts)
 
+    # Q1 iterator over the voids template (no style block, so the walk
+    # covers every node — on style-bearing pages the reference walk
+    # ENDS inside the css subtree, a quirk pinned by the fuzz iterate
+    # ops).  Sequences are per-doc constants, live-verified against
+    # the reference via ref_dump 'iterate' (+ remove / skip_at /
+    # remove_other specs) for multiple substitutions.
+    o["kernel_iterator_api"] = f"""
+        SELECT {_v_url['voids']} AS url, v.op, v.ids
+        FROM documents, (VALUES
+            ('walk',           '1,2,3,4,5,6,7,8,9,10,11,12,13'),
+            ('skip_noop',      '1,2,3,4,5,6,7,8,9,10,11,12,13'),
+            ('rm_current_p',   '1,2,3,4,5'),
+            ('rm_current_img', '1,2,3,4,5,6,7,8'),
+            ('rm_other',       '1,2,3,4,5,6,7,8,10,11,12,13')
+        ) AS v(op, ids)"""
+
     # kernel selector engine + find-API over the main template: every
     # op's matched-id list is a per-doc constant (pinned from the
     # kernel, reference-verified by the query-api golden case)
@@ -693,6 +724,57 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(
                    CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
         FROM embeddings e JOIN probed USING (label), q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+    # k-means IVF: the oracle REPLAYS the identical Lloyd sweeps —
+    # integer-exact arithmetic (1e-6-grid bigint quantization, bigint
+    # squared-L2, floor(sum/count) centroid updates) makes the
+    # iteration bit-reproducible across engines regardless of
+    # summation order.  Seeds = vec_id < 8, 2 sweeps, nprobe 2, k 10
+    # (mirrors operators/similarity.kmeans_centroids defaults).
+    def _kdist(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, 65), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    _KQ = ("list_transform(embedding, x -> CAST(floor("
+           "CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+    _km_parts = [f"""
+        qv AS (SELECT {_KQ} AS qe, CAST(embedding AS DOUBLE[]) AS qf
+               FROM embeddings WHERE vec_id = 0),
+        v AS (SELECT vec_id, {_KQ} AS qe FROM embeddings),
+        pos AS (SELECT unnest(range(1, 65)) AS i),
+        c0 AS (SELECT vec_id AS cid, qe AS c FROM v WHERE vec_id < 8)"""]
+    _cur = "c0"
+    for _it in (1, 2):
+        _km_parts.append(f"""
+        a{_it} AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, {_cur}.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_kdist("v.qe", f"{_cur}.c")},
+                                {_cur}.cid) AS rn
+            FROM v CROSS JOIN {_cur}) WHERE rn = 1),
+        c{_it} AS (SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a{_it}.cid, pos.i,
+                   CAST(floor(CAST(sum(v.qe[pos.i]) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS m
+            FROM a{_it} JOIN v USING (vec_id) CROSS JOIN pos
+            GROUP BY a{_it}.cid, pos.i) GROUP BY cid)""")
+        _cur = f"c{_it}"
+    o["ann_kmeans_topk"] = "WITH " + ",".join(_km_parts) + f""",
+        probed AS (SELECT cid FROM {_cur} CROSS JOIN qv
+                   ORDER BY {_kdist("c", "qv.qe")}, cid LIMIT 2),
+        fin AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, {_cur}.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_kdist("v.qe", f"{_cur}.c")},
+                                {_cur}.cid) AS rn
+            FROM v CROSS JOIN {_cur}) WHERE rn = 1)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), qv.qf), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id IN (SELECT vec_id FROM fin
+                           WHERE cid IN (SELECT cid FROM probed))
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
 
     o["embedding_dedup"] = """
@@ -958,12 +1040,51 @@ def oracle_sql() -> dict[str, str]:
                    FROM documents)
         SELECT url, CAST(n AS BIGINT) AS n_bytes,
                CAST(16000 + (n % 3) * 8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
                CAST(n * 4 AS BIGINT) AS n_samples,
                CAST(n * 4 * 1000 // (16000 + (n % 3) * 8000) AS BIGINT)
                    AS duration_ms,
                false AS decoded,
                'stub-decoder: deterministic fake audio meta' AS note
         FROM b"""
+
+    # REAL decoders over the synthesized closed-form binary columns
+    # (sources.documents.render_png / render_wav): every header field
+    # is a function of doc_id, so DuckDB verifies the actual PNG-IHDR /
+    # WAV-fmt parse, decoded=true.  PNG bytes: 8 sig + 25 IHDR
+    # + (12 + doc_id%13+1) IDAT + 12 IEND.
+    o["image_features"] = """
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#png') AS url,
+               CAST(58 + doc_id % 13 AS BIGINT) AS n_bytes,
+               CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    ELSE 4 END AS INTEGER) AS channels,
+               true AS decoded,
+               ('png-ihdr bit_depth=8 color_type='
+                || CASE doc_id % 3 WHEN 0 THEN '0' WHEN 1 THEN '2'
+                   ELSE '6' END) AS note
+        FROM documents"""
+    # WAV bytes: 44-byte header + data (channels * 2 * frames);
+    # channels = doc_id%2+1, rate = 8000+(doc_id%5)*8000,
+    # frames = doc_id%50+10
+    o["audio_features"] = """
+        WITH p AS (SELECT doc_id, source,
+                          doc_id % 2 + 1 AS ch,
+                          8000 + (doc_id % 5) * 8000 AS rate,
+                          doc_id % 50 + 10 AS frames
+                   FROM documents)
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#wav') AS url,
+               CAST(44 + ch * 2 * frames AS BIGINT) AS n_bytes,
+               CAST(rate AS INTEGER) AS sample_rate,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(frames AS BIGINT) AS n_samples,
+               CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+               true AS decoded,
+               'wav-fmt bits=16' AS note
+        FROM p"""
 
     # frame sampling: 4 evenly-spaced char windows + sha256 per window
     o["frame_sample"] = f"""

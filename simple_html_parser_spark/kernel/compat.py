@@ -40,7 +40,7 @@ def run_op(tree: FlatTree, op: dict):
     if name == "mutate":
         return _run_mutation(tree, op["steps"])
     if name == "iterate":
-        return _run_iterate(tree, op.get("remove"))
+        return _run_iterate(tree, op.get("remove"), op.get("remove_other"))
     if name == "visualize":
         return serialize.visualize(
             tree, ctx,
@@ -236,7 +236,9 @@ def _node_label(tree: FlatTree, nid: int) -> str:
     return f"{tree.type[nid]}:{tree.name[nid]}:{tree.content[nid]}"
 
 
-def _run_iterate(tree: FlatTree, remove_spec: dict | None) -> dict:
+def _run_iterate(tree: FlatTree, remove_spec: dict | None,
+                 remove_other: dict | None = None) -> dict:
+    from . import selector
     from .manipulate import DomIterator
     it = DomIterator(tree, 0)
     visited = []
@@ -254,6 +256,10 @@ def _run_iterate(tree: FlatTree, remove_spec: dict | None) -> dict:
         if remove_spec and remove_spec.get("skip_at") \
                 and _node_label(tree, nid) == remove_spec["skip_at"]:
             it.skip_children()
+        if remove_other and _node_label(tree, nid) == remove_other["at"]:
+            tgt = selector.query_selector(tree, 0, remove_other["sel"])
+            if tgt is not None:
+                it.remove(tgt)
     return {
         "visited": visited,
         "html": serialize.to_html(tree, 0, True),

@@ -459,6 +459,15 @@ class DomIterator:
                     idx = -1
                 if idx != -1 and idx < len(siblings) - 1:
                     return siblings[idx + 1]
+            # Reference quirk (simple-html-parser.js:144): style blocks
+            # graft cssTree.children WITHOUT re-parenting, so a css
+            # top-level node's parent is the DETACHED css-root — the
+            # ancestry climb hits it and dies (node.js:96-112: css-root
+            # has no parent and isn't type 'root').  The walk therefore
+            # ENDS after the last css node instead of resuming at
+            # </style>.  FLAG_CSS_TOP marks those nodes here.
+            if tree.is_css_top(nid):
+                return None
             nid = parent if parent >= 0 else None
 
     def _next_node(self, nid: int) -> int | None:
@@ -473,9 +482,16 @@ class DomIterator:
             try:
                 idx = siblings.index(nid)
             except ValueError:
+                if tree.is_css_top(nid):    # detached css-root (see
+                    return None             # _next_in_ancestry)
                 return self._next_in_ancestry(parent)
             if idx < len(siblings) - 1:
                 return siblings[idx + 1]
+        # css top-level node with no next sibling: the reference climbs
+        # into the detached css-root and the walk ENDS (quirk, see
+        # _next_in_ancestry) — it never resumes at </style>
+        if tree.is_css_top(nid):
+            return None
         return self._next_in_ancestry(parent if parent >= 0 else None)
 
     def __next__(self) -> int:

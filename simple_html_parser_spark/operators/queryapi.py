@@ -97,6 +97,85 @@ def kernel_query_api(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInArrow(_query_fn, QUERY_SCHEMA)
 
 
+# ---- iterator surface (Q1) ---------------------------------------------------
+
+ITER_SCHEMA = "url string, op string, ids string"
+
+_PA_I = pa.schema([
+    ("url", pa.string()), ("op", pa.string()), ("ids", pa.string()),
+])
+
+# Each op parses fresh (removal ops mutate) and pins a reference
+# iterator quirk (node.js:78-233, all live-verified via ref_dump
+# 'iterate'):
+#  - walk: plain DFS — on a style-bearing page this would END inside
+#    the css subtree (detached css-root quirk); the voids template has
+#    no style, so the walk covers every node;
+#  - skip_noop: skipChildren() is DEAD CODE (flags reset before
+#    getNextNode) — sequence identical to walk;
+#  - rm_current_p: removing the CURRENT node descends into the
+#    detached subtree, then stops at the severed parent;
+#  - rm_current_img: removing a CURRENT childless node ends the walk
+#    (parent nulled → ancestry climb dies);
+#  - rm_other: removing a NON-current node just drops it from the
+#    sibling walk.
+ITER_OPS = ("walk", "skip_noop", "rm_current_p", "rm_current_img",
+            "rm_other")
+
+
+def _run_iter_op(html: str, op: str) -> list[int]:
+    from ..kernel import selector as sel
+    from ..kernel.manipulate import DomIterator
+    t = parse_html(html, max_nodes=MAX_NODES_PER_DOC)
+    it = DomIterator(t, 0)
+    ids: list[int] = []
+    for n in it:
+        ids.append(n)
+        ty, nm = t.type[n], t.name[n]
+        if op == "skip_noop" and ty == "tag-open" and nm == "body":
+            it.skip_children()
+        elif op == "rm_current_p" and ty == "tag-open" and nm == "p":
+            it.remove(n)
+        elif op == "rm_current_img" and ty == "tag-open" and nm == "img":
+            it.remove(n)
+        elif op == "rm_other" and ty == "tag-open" and nm == "br/":
+            tgt = sel.query_selector(t, 0, "hr")
+            if tgt is not None:
+                it.remove(tgt)
+    return ids
+
+
+def _iter_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_I.names}
+        for url, raw in zip(urls, htmls):
+            try:
+                html = _decode(raw)
+                for op in ITER_OPS:
+                    cols["url"].append(url)
+                    cols["op"].append(op)
+                    cols["ids"].append(",".join(
+                        str(i) for i in _run_iter_op(html, op)))
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                cols["url"].append(url)
+                cols["op"].append("error")
+                cols["ids"].append(f"{type(e).__name__}: {e}")
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_I.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_I)
+
+
+def iterator_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → one row per (url, iterator op): visited
+    node ids in engine order (Q1 — removal-safe DFS iterator with the
+    reference's skipChildren/css-root/termination quirks)."""
+    return df.select("url", "html").mapInArrow(_iter_fn, ITER_SCHEMA)
+
+
 # ---- CSS query surface -------------------------------------------------------
 
 CSSQ_SCHEMA = "url string, kind string, name string, value string"

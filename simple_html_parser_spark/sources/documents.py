@@ -223,6 +223,94 @@ def load_documents_variant(spark: SparkSession, sf_dir: str,
     return render_variant(load_table(spark, sf_dir, "documents"), variant)
 
 
+# --- multimodal binary payloads (closed-form headers) ---------------------
+# Deterministic PNG / WAV byte columns rendered ENTIRELY JVM-side, so
+# the real header decoders (operators/multimodal.py) can be checked by
+# the DuckDB oracle: every header field is a closed-form function of
+# doc_id.  The PNG chunk CRCs are REAL (F.crc32 == PNG's CRC-32), so
+# any independent PNG header reader accepts these files; the IDAT body
+# is filler (a header probe never inflates pixel data).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_IEND = bytes.fromhex("0000000049454e44ae426082")
+
+
+def _be(col, nbytes: int):
+    """bigint column → big-endian fixed-width binary (JVM built-ins:
+    hex → lpad → unhex)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0"))
+
+
+def _le(col, nbytes: int):
+    """bigint column → little-endian fixed-width binary (byte-swapped
+    hex)."""
+    h = F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+    return F.unhex(F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]))
+
+
+def _chunk(ctype: bytes, data):
+    """A PNG chunk: len(4BE) + type + data + crc32(type||data)."""
+    return F.concat(
+        _be(F.length(data), 4), F.lit(ctype), data,
+        _be(F.crc32(F.concat(F.lit(ctype), data)), 4))
+
+
+def render_png(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, …) → (url, payload binary): a structurally
+    valid PNG whose IHDR fields are closed-form in doc_id —
+    width = doc_id%640+1, height = doc_id%480+1, bit depth 8,
+    color type cycling gray/RGB/RGBA (1/3/4 channels), plus a filler
+    IDAT of doc_id%13+1 bytes so n_bytes varies."""
+    doc_id = F.col("doc_id").cast("bigint")
+    ihdr_data = F.concat(
+        _be(doc_id % 640 + 1, 4),            # width
+        _be(doc_id % 480 + 1, 4),            # height
+        F.lit(b"\x08"),                      # bit depth
+        _be(F.when(doc_id % 3 == 0, 0)       # color type 0/2/6
+             .when(doc_id % 3 == 1, 2).otherwise(6), 1),
+        F.lit(b"\x00\x00\x00"),              # compression/filter/interlace
+    )
+    idat_data = F.encode(F.expr("repeat(' ', CAST(doc_id % 13 + 1 AS INT))"),
+                         "utf-8")
+    payload = F.concat(F.lit(PNG_SIG), _chunk(b"IHDR", ihdr_data),
+                       _chunk(b"IDAT", idat_data), F.lit(PNG_IEND))
+    return docs.select(
+        F.format_string("doc://%s/%s#png", "source", "doc_id").alias("url"),
+        payload.alias("payload"))
+
+
+def render_wav(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, …) → (url, payload binary): a valid PCM WAV
+    (RIFF/WAVE + fmt + data) with closed-form header fields —
+    sample_rate = 8000 + (doc_id%5)*8000, channels = doc_id%2+1,
+    16-bit samples, doc_id%50+10 frames of filler audio."""
+    doc_id = F.col("doc_id").cast("bigint")
+    channels = doc_id % 2 + 1
+    sample_rate = doc_id % 5 * 8000 + 8000
+    block_align = channels * 2                       # 16-bit PCM
+    frames = doc_id % 50 + 10
+    data_size = block_align * frames
+    fmt_data = F.concat(
+        _le(F.lit(1), 2),                            # PCM
+        _le(channels, 2),
+        _le(sample_rate, 4),
+        _le(sample_rate * block_align, 4),           # byte rate
+        _le(block_align, 2),
+        _le(F.lit(16), 2),                           # bits/sample
+    )
+    body = F.encode(
+        F.expr("repeat(' ', CAST((doc_id % 2 + 1) * 2 "
+               "* (doc_id % 50 + 10) AS INT))"), "utf-8")
+    payload = F.concat(
+        F.lit(b"RIFF"), _le(data_size + 36, 4), F.lit(b"WAVE"),
+        F.lit(b"fmt "), _le(F.lit(16), 4), fmt_data,
+        F.lit(b"data"), _le(data_size, 4), body)
+    return docs.select(
+        F.format_string("doc://%s/%s#wav", "source", "doc_id").alias("url"),
+        payload.alias("payload"))
+
+
 def render_html_heavy(docs: DataFrame, paras: int = 40) -> DataFrame:
     """Bench-realistic pages (~10-40 KB): ``paras`` indexed paragraphs
     plus a nav link list and a style block.  Still pure JVM expressions

@@ -126,6 +126,79 @@ def test_multimodal_stub(spark, docs):
     assert all(r.width == r.n_bytes % 640 + 1 for r in rows)
 
 
+def test_png_payloads_are_wellformed(spark):
+    """The synthesized PNG column must satisfy an INDEPENDENT reader:
+    signature, chunk walk, and real CRC-32 per chunk (zlib.crc32), and
+    the real decoder must report decoded=true with the closed-form
+    dims."""
+    import struct
+    import zlib
+
+    from simple_html_parser_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from simple_html_parser_spark.sources.documents import render_png
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet").limit(24)
+    png = render_png(raw)
+    for r in png.collect():
+        b = bytes(r.payload)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        off, chunks = 8, []
+        while off < len(b):
+            ln = struct.unpack(">I", b[off:off + 4])[0]
+            ctype = b[off + 4:off + 8]
+            data = b[off + 8:off + 8 + ln]
+            crc = struct.unpack(">I", b[off + 8 + ln:off + 12 + ln])[0]
+            assert crc == zlib.crc32(ctype + data), ctype
+            chunks.append(ctype)
+            off += 12 + ln
+        assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+    feats = {r.url: r for r in
+             extract_image_features(png, col="payload").collect()}
+    for r in raw.collect():
+        f = feats[f"doc://{r.source}/{r.doc_id}#png"]
+        assert f.decoded and f.width == r.doc_id % 640 + 1 \
+            and f.height == r.doc_id % 480 + 1
+
+
+def test_wav_payloads_are_wellformed(spark, tmp_path):
+    """The synthesized WAV column must parse with the stdlib ``wave``
+    module (an independent reader), agreeing with the real decoder."""
+    import io
+    import wave
+
+    from simple_html_parser_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from simple_html_parser_spark.sources.documents import render_wav
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet").limit(24)
+    wav = render_wav(raw)
+    feats = {r.url: r for r in
+             extract_audio_features(wav, col="payload").collect()}
+    for r in wav.collect():
+        with wave.open(io.BytesIO(bytes(r.payload))) as w:
+            f = feats[r.url]
+            assert f.decoded
+            assert w.getframerate() == f.sample_rate
+            assert w.getnchannels() == f.channels
+            assert w.getnframes() == f.n_samples
+            assert w.getsampwidth() == 2
+
+
+def test_decoder_fallback_on_unknown_magic(spark, docs):
+    """Non-PNG/WAV payloads take the stub path (decoded=false), never
+    fail the task — the production-decoder seam."""
+    from simple_html_parser_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features,
+    )
+    img = extract_image_features(docs.limit(8)).collect()
+    aud = extract_audio_features(docs.limit(8)).collect()
+    assert len(img) == 8 and all(not r.decoded for r in img)
+    assert len(aud) == 8 and all(not r.decoded for r in aud)
+
+
 def test_nodes_view_emits_error_rows(spark, docs):
     """A doc over the node cap must NOT vanish from the nodes view —
     it yields one type='error' marker row (VERDICT r01 item 6: silent

@@ -164,6 +164,13 @@ def run_fuzz(n: int, seed: int) -> int:
                 {"op": "iterate"},
                 {"op": "iterate", "remove": {"type": "tag-open",
                                              "name": "p"}},
+                # skipChildren is reference dead code — walk unchanged
+                {"op": "iterate", "remove": {"type": "zz",
+                                             "skip_at": "tag-open:div:"}},
+                # remove ANOTHER node mid-iteration (dropped from the
+                # sibling walk, unlike remove-current which ends it)
+                {"op": "iterate", "remove_other": {"at": "tag-open:ul:",
+                                                   "sel": "li"}},
             ],
         })
     n = len(cases)

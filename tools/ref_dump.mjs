@@ -206,7 +206,7 @@ function nodeLabel(n) {
     return `${n.type}:${n.name}:${n.content}`;
 }
 
-function runIterate(root, removeSpec) {
+function runIterate(root, removeSpec, removeOther) {
     const visited = [];
     for (const n of root) {
         visited.push(nodeLabel(n));
@@ -219,6 +219,13 @@ function runIterate(root, removeSpec) {
         if (removeSpec && removeSpec.skip_at
             && nodeLabel(n) === removeSpec.skip_at) {
             n.skipChildren();
+        }
+        // remove ANOTHER node (not the current one) mid-iteration:
+        // when the current node's label matches `at`, remove the first
+        // querySelector match for `sel`
+        if (removeOther && nodeLabel(n) === removeOther.at) {
+            const tgt = root.querySelector(removeOther.sel);
+            if (tgt) tgt.remove();
         }
     }
     return { visited, html: root.toHtml(true) };
@@ -237,7 +244,9 @@ function runOp(op, root, byId, idOf) {
             showNodeType: op.types ?? false,
             contentPreviewLength: op.preview_len ?? 20,
         });
-        case 'iterate': return runIterate(root, op.remove ?? null);
+        case 'iterate':
+            return runIterate(root, op.remove ?? null,
+                op.remove_other ?? null);
         case 'extract': {
             const profile = op.mode === 'density'
                 ? { mode: 'density',
