@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
 from simple_html_parser_spark.operators import curation as CU
+from simple_html_parser_spark.runtime import streaming as ST
 from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
@@ -48,7 +49,8 @@ from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
 )
 from simple_html_parser_spark.sources.documents import (
-    HTML_TEMPLATE, TPL_MAIN_EDITED, TPL_MAIN_SERIALIZED,
+    HTML_TEMPLATE, TPL_CSSY_SERIALIZED, TPL_MAIN_EDITED,
+    TPL_MAIN_SERIALIZED,
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
     load_documents, load_documents_variant, load_table,
@@ -241,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_documents_variant(spark, sf, "voids"))
     q["css_query_api"] = lambda spark, sf: QA.css_query_api(
         load_documents_variant(spark, sf, "cssy"))
+    q["css_serialize_api"] = lambda spark, sf: QA.css_serialize_api(
+        load_documents_variant(spark, sf, "cssy"))
     q["doc_serialize_api"] = lambda spark, sf: QA.serialize_api(
         load_documents_variant(spark, sf, "main"))
     q["doc_visualize"] = lambda spark, sf: QA.visualize_api(
@@ -330,6 +334,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         render_png(_raw_docs(spark, sf)), col="payload")
     q["audio_features"] = lambda spark, sf: MM.extract_audio_features(
         render_wav(_raw_docs(spark, sf)), col="payload")
+
+    # ---- streaming surface (value-oracled snapshots) ----
+    # real readStream→writeStream runs (availableNow) whose emitted
+    # output is deterministic by construction — see runtime/streaming
+    # snapshot docstrings — so the windowed agg + stateful dedup get
+    # full driver-oracle rows instead of pytest-only gates
+    q["stream_windowed_metrics"] = lambda spark, sf: (
+        ST.windowed_metrics_snapshot(spark, _docs(spark, sf)))
+    q["stream_first_seen_dedup"] = lambda spark, sf: (
+        ST.first_seen_snapshot(spark, _docs(spark, sf)))
 
     # ---- relational built-ins ----
     q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
@@ -442,7 +456,7 @@ def oracle_sql() -> dict[str, str]:
     _v_url = {
         v: f"('doc://' || source || '/' || CAST(doc_id AS VARCHAR) "
            f"|| '#{v}')"
-        for v in ("main", "voids", "special", "malformed")
+        for v in ("main", "voids", "special", "malformed", "cssy")
     }
     o["voids_structure_map"] = """
         SELECT * FROM (VALUES
@@ -538,6 +552,18 @@ def oracle_sql() -> dict[str, str]:
             ('rm_current_img', '1,2,3,4,5,6,7,8'),
             ('rm_other',       '1,2,3,4,5,6,7,8,10,11,12,13')
         ) AS v(op, ids)"""
+
+    # cssToString option matrix (C12): each combo's output is a fixed
+    # template with one doc-id substitution (@D@, the --pad value) —
+    # kernel-derived, byte-verified against the reference per combo
+    _cs_parts = []
+    for _combo, _tpl in TPL_CSSY_SERIALIZED.items():
+        _cs_parts.append(f"""
+        SELECT {_v_url['cssy']} AS url, '{_combo}' AS combo,
+               replace({_sql_quote(_tpl)}, '@D@',
+                       CAST(doc_id AS VARCHAR)) AS out
+        FROM documents""")
+    o["css_serialize_api"] = " UNION ALL ".join(_cs_parts)
 
     # kernel selector engine + find-API over the main template: every
     # op's matched-id list is a per-doc constant (pinned from the
@@ -978,6 +1004,31 @@ def oracle_sql() -> dict[str, str]:
                octet_length(encode({render})) AS n_bytes,
                hex(encode(substring({render}, 1, 4))) AS magic_hex,
                sha256({render}) AS digest
+        FROM documents"""
+
+    # streaming snapshots: the emitted stream output equals a plain
+    # tumbling-window GROUP BY (watermark passed every real window via
+    # the sentinel) / a per-url dedup (identical duplicate rows), so
+    # batch SQL is a full value oracle for the streaming surface
+    o["stream_windowed_metrics"] = f"""
+        WITH t AS (SELECT doc_id,
+                          octet_length(encode({render})) AS nb,
+                          date_trunc('minute',
+                              TIMESTAMP '2025-01-01 00:00:00'
+                              + doc_id * INTERVAL 1 SECOND) AS ws
+                   FROM documents)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(ws + INTERVAL 1 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               count(*) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS html_bytes
+        FROM t GROUP BY ws"""
+    o["stream_first_seen_dedup"] = f"""
+        SELECT {_URL_SQL} AS url,
+               strftime(TIMESTAMP '2025-01-01 00:00:00'
+                        + doc_id * INTERVAL 1 SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               CAST(octet_length(encode({render})) AS BIGINT) AS n_bytes
         FROM documents"""
 
     o["q1_pricing"] = """

@@ -149,9 +149,12 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_links", "doc_roundtrip", "doc_edit_pipeline",
         "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "sim_topk", "ann_ivf_topk",
-        "embedding_srp_lsh", "token_stats", "quality_score",
+        "embedding_srp_lsh", "ann_kmeans_topk", "token_stats",
+        "quality_score",
         "doc_fingerprint", "lang_id", "clean_text", "repetition_stats",
-        "curation_pipeline", "binary_meta", "q1_pricing",
+        "curation_pipeline", "binary_meta", "image_features",
+        "audio_features", "css_serialize_api", "kernel_iterator_api",
+        "q1_pricing",
         "q3_top_orders", "events_topk", "part_shipped",
     ]
     trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))

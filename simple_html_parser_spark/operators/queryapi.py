@@ -287,6 +287,60 @@ def serialize_api(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInArrow(_ser_fn, SER_SCHEMA)
 
 
+# ---- cssToString option matrix (C12) -----------------------------------------
+
+# (combo name, options) — reference node.js:707-870 semantics,
+# exercised by test/css.test.js:244-531.  Expected outputs per combo:
+# sources.documents.TPL_CSSY_SERIALIZED (kernel-derived, byte-verified
+# against the reference).
+CSS_SER_COMBOS: tuple[tuple[str, dict], ...] = (
+    ("default", {}),
+    ("single_line", {"singleLine": True}),
+    ("flatten", {"flattenNested": True}),
+    ("no_combine", {"combineDeclarations": False}),
+    ("bare", {"includeBraces": False, "includeSelector": False}),
+    ("indent2", {"indent": 2}),
+)
+
+CSS_SER_SCHEMA = "url string, combo string, out string"
+
+_PA_CS = pa.schema([
+    ("url", pa.string()), ("combo", pa.string()), ("out", pa.string()),
+])
+
+
+def _css_ser_fn(
+        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ..kernel import serialize
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name in _PA_CS.names}
+        for url, raw in zip(urls, htmls):
+            try:
+                t = parse_html(_decode(raw), max_nodes=MAX_NODES_PER_DOC)
+                rows = [(combo, serialize.css_to_string(t, **opts))
+                        for combo, opts in CSS_SER_COMBOS]
+            except Exception as e:  # noqa: BLE001 — per-doc isolation
+                rows = [("error", f"{type(e).__name__}: {e}")]
+            for combo, out in rows:
+                cols["url"].append(url)
+                cols["combo"].append(combo)
+                cols["out"].append(out)
+        if cols["url"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=_PA_CS.field(k).type)
+                 for k, v in cols.items()},
+                schema=_PA_CS)
+
+
+def css_serialize_api(df: DataFrame) -> DataFrame:
+    """documents(url, html) → cssToString output under each
+    CSS_SER_COMBOS option set (the full single-line / flatten /
+    combine / braces / indent matrix), one row per (url, combo)."""
+    return df.select("url", "html").mapInArrow(_css_ser_fn, CSS_SER_SCHEMA)
+
+
 VIZ_SCHEMA = "url string, viz string"
 
 _PA_V = pa.schema([("url", pa.string()), ("viz", pa.string())])

@@ -130,6 +130,48 @@ TPL_CSSY = (
     '<body id="hdr"><p class="a b">%2$s</p></body></html>'
 )
 
+# cssToString option matrix over the cssy template (C12, reference
+# node.js:707-870, option semantics exercised by test/css.test.js:
+# 244-531).  Each combo's output is a fixed template with ONE doc-id
+# substitution (@D@ = doc_id, inside the --pad custom property) —
+# kernel-derived and byte-verified against the reference via ref_dump
+# css_to_string for multiple substitutions.  Keys match
+# operators.queryapi.CSS_SER_COMBOS.
+TPL_CSSY_SERIALIZED = {
+    "default": ':root {\n    --c: #0a0;\n    --pad: @D@px;\n}\n'
+               '.a, .b {\n    color: var(--c);\n    padding: 2px;\n}\n'
+               '#hdr {\n    margin: 0;\n    --local: 7px;\n}\n'
+               '@media screen {\n    .a {\n        width: 10px;\n    }'
+               '\n\n}\n.c {\n    top: 1px;\n    .d {\n        x: y;\n'
+               '    }\n}',
+    "single_line": ':root { --c: #0a0; --pad: @D@px; }'
+                   '.a, .b { color: var(--c); padding: 2px; }'
+                   '#hdr { margin: 0; --local: 7px; }'
+                   '@media screen {    .a {\n        width: 10px;\n'
+                   '    }\n}.c { top: 1px; .d { x: y; } }',
+    "flatten": ':root {\n    --c: #0a0;\n    --pad: @D@px;\n}\n'
+               '.a, .b {\n    color: var(--c);\n    padding: 2px;\n}\n'
+               '#hdr {\n    margin: 0;\n    --local: 7px;\n}\n'
+               '@media screen {\n    .a {\n        width: 10px;\n    }'
+               '\n\n}\n.c {\n    top: 1px;\n\n.c .d {\n    x: y;\n}\n}',
+    "no_combine": ':root {\n    --c: #0a0;\n    --pad: @D@px;\n}\n'
+                  '.a, .b {\n    color: var(--c);\n    padding: 2px;\n'
+                  '}\n#hdr {\n    margin: 0;\n    --local: 7px;\n}\n'
+                  '@media screen {\n    .a {\n        width: 10px;\n'
+                  '    }\n\n}\n.c {\n    top: 1px;\n    .d {\n'
+                  '        x: y;\n    }\n}',
+    "bare": '--c: #0a0;\n--pad: @D@px;\n\ncolor: var(--c);\n'
+            'padding: 2px;\n\nmargin: 0;\n--local: 7px;\n\n'
+            '@media screen {\n    .a {\n        width: 10px;\n    }\n\n}'
+            '\ntop: 1px;\nx: y;',
+    "indent2": '  :root {\n      --c: #0a0;\n      --pad: @D@px;\n  }\n'
+               '  .a, .b {\n      color: var(--c);\n      padding: 2px;'
+               '\n  }\n  #hdr {\n      margin: 0;\n      --local: 7px;'
+               '\n  }\n  @media screen {\n    .a {\n        width: '
+               '10px;\n    }\n\n  }\n  .c {\n      top: 1px;\n'
+               '      .d {\n          x: y;\n      }\n  }',
+}
+
 # serialize.visualize of the main template (S6) — fixed box-drawing
 # tree; %5$s marks the truncated text preview (first 17 chars + '...',
 # always truncated: corpus texts are ≥44 chars, pre-trimmed).  css-*

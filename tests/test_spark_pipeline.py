@@ -324,6 +324,48 @@ def test_invalid_utf8_and_binary_garbage(spark, docs):
     assert {"bad://utf8", "bad://binary"} <= urls
 
 
+def _iceberg_jar_present() -> bool:
+    import glob
+    import os
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    return bool(glob.glob(f"{spark_home}/jars/iceberg-spark-runtime*.jar"))
+
+
+@pytest.mark.skipif(not _iceberg_jar_present(),
+                    reason="iceberg-spark-runtime jar not in this "
+                           "container (parquet fallback covered by the "
+                           "rest of the suite)")
+def test_iceberg_catalog_roundtrip(tmp_path):
+    """load_table's fmt='iceberg' seam against a local hadoop catalog:
+    write documents as an Iceberg table, read it back through
+    load_table, and run the resume anti-join against the snapshot —
+    exercises partition metadata instead of raw parquet listing."""
+    from simple_html_parser_spark.sources.documents import load_table
+
+    wh = str(tmp_path / "warehouse")
+    s = (
+        get_spark("iceberg-test", master="local[2]",
+                  shuffle_partitions=4)
+        .builder
+        .config("spark.sql.catalog.local",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", wh)
+        .getOrCreate()
+    )
+    try:
+        docs = s.read.parquet(f"{SF}/documents.parquet").limit(64)
+        docs.writeTo("local.db.documents").create()
+        back = load_table(s, "local.db", "documents", fmt="iceberg")
+        assert back.count() == 64
+        assert set(back.columns) >= {"doc_id", "text", "lang", "source"}
+        done = back.select("doc_id").limit(16)
+        todo = back.join(done, "doc_id", "left_anti")
+        assert todo.count() == 48
+    finally:
+        s.sql("DROP TABLE IF EXISTS local.db.documents")
+
+
 def test_cluster_lineage_truncated(spark):
     """VERDICT r01 item 3 'done' criterion: the label frame's plan must
     NOT contain the iteration joins — localCheckpoint truncates lineage
