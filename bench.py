@@ -174,6 +174,20 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
             walls.append(round(time.perf_counter() - t0, 3))
         out[name] = min(walls)
         log(f"  {name}: {out[name]}s ({n} rows) {walls}")
+        # hygiene: several queries persist/localCheckpoint frames
+        # (LSH shingles, k-means sweeps); left in place they accrete
+        # executor memory across the session and degrade every LATER
+        # query (r3: a 146s kmeans trial and an 11.5s q3 traced to
+        # this).  Clear between queries so each is measured on a
+        # quiet executor; gc() lets ContextCleaner drop checkpointed
+        # blocks whose Python handles are gone.
+        import gc
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
     return out
 
 

@@ -244,10 +244,13 @@ def embedding_srp_lsh_dedup(
     # pairs are distinct'd BEFORE verification, so each pair pays one
     # cosine, not one per shared band.  At 10^12 vectors: shuffle ids
     # (bytes/row), not 4x the embedding table.
+    # localCheckpoint the (vec_id, band, key) frame — bands·n rows of
+    # 3 ints, driver-scale tiny at any corpus — so the 32-projection
+    # signature pass runs ONCE, not once per self-join branch.
     banded = sig.select(
         "vec_id",
         F.explode(F.array(*band_structs)).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.key")
+    ).select("vec_id", "bb.band", "bb.key").localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -258,14 +261,22 @@ def embedding_srp_lsh_dedup(
                 F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    # Verify with per-VECTOR norms precomputed (n norm evaluations,
+    # not 2 per candidate pair): higher-order-function array exprs are
+    # the dominant per-pair cost, so the pair pays exactly one dot.
+    # dot/(na*nb) is the same fp expression as cosine_sim, just with
+    # the norm factors evaluated early — values are bit-identical.
     ea = embeddings.select(F.col("vec_id").alias("vec_a"),
-                           F.col("embedding").alias("emb_a"))
+                           F.col("embedding").alias("emb_a"),
+                           _norm(F.col("embedding")).alias("na"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"),
-                           F.col("embedding").alias("emb_b"))
+                           F.col("embedding").alias("emb_b"),
+                           _norm(F.col("embedding")).alias("nb"))
     return (
         cands.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b",
-                cosine_sim(F.col("emb_a"), F.col("emb_b"))
+                F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                        / (F.col("na") * F.col("nb")), 6)
                 .alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
