@@ -42,6 +42,7 @@ from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
 from simple_html_parser_spark.operators import domsql as DS
 from simple_html_parser_spark.operators import multimodal as MM
+from simple_html_parser_spark.operators import pdftext as PDF
 from simple_html_parser_spark.operators import relational as R
 from simple_html_parser_spark.operators import similarity as S
 from simple_html_parser_spark.operators import textstats as T
@@ -54,7 +55,7 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
     load_documents, load_documents_variant, load_table,
-    render_png, render_wav,
+    render_pdf, render_png, render_wav,
 )
 
 # ---------------------------------------------------------------------------
@@ -334,6 +335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         render_png(_raw_docs(spark, sf)), col="payload")
     q["audio_features"] = lambda spark, sf: MM.extract_audio_features(
         render_wav(_raw_docs(spark, sf)), col="payload")
+    # REAL PDF parser (north-rule "PDF/layout parse"): xref walk, page
+    # tree, /Length-delimited streams, FlateDecode (stdlib zlib),
+    # escape/hex/TJ strings, and the layout y-sort — over synthesized
+    # structurally-valid 3-page PDFs whose page texts are closed-form
+    # in doc_id (sources/documents.py::render_pdf)
+    q["pdf_text_extract"] = lambda spark, sf: PDF.extract_pdf_text(
+        render_pdf(_raw_docs(spark, sf)), col="payload")
 
     # ---- streaming surface (value-oracled snapshots) ----
     # real readStream→writeStream runs (availableNow) whose emitted
@@ -1136,6 +1144,52 @@ def oracle_sql() -> dict[str, str]:
                true AS decoded,
                'wav-fmt bits=16' AS note
         FROM p"""
+
+    # PDF text extraction: every page's text is closed-form in doc_id
+    # (sources/documents.py::render_pdf) — page 1's body-line count is
+    # doc_id%3+1 and the lines are PAINTED reversed in the stream, so a
+    # hash match here verifies the real xref walk + stream decode +
+    # FlateDecode + escape/hex/TJ parsing + the layout y-sort.
+    o["pdf_text_extract"] = """
+        WITH p AS (SELECT doc_id, source, doc_id % 3 + 1 AS k
+                   FROM documents),
+        pages AS (
+            SELECT doc_id, source, 1 AS page,
+                   'Heading for document ' || doc_id || chr(10)
+                   || 'Body line 1 of document ' || doc_id
+                   || CASE WHEN k >= 2 THEN chr(10)
+                        || 'Body line 2 of document ' || doc_id
+                      ELSE '' END
+                   || CASE WHEN k >= 3 THEN chr(10)
+                        || 'Body line 3 of document ' || doc_id
+                      ELSE '' END
+                   || chr(10) || 'Escape (parens) \\ slash'
+                   || chr(10) || 'Hex line' AS text,
+                   'pdf-text via=xref filter=none' AS note
+            FROM p
+            UNION ALL
+            SELECT doc_id, source, 2,
+                   'Document ' || doc_id || ' continued on page 2'
+                   || chr(10) || 'Token ' || (doc_id % 100)
+                   || ' of section ' || (doc_id % 7),
+                   'pdf-text via=xref filter=none'
+            FROM p
+            UNION ALL
+            SELECT doc_id, source, 3,
+                   'Colophon page' || chr(10)
+                   || 'Synthesized deterministic corpus',
+                   'pdf-text via=xref filter=flate'
+            FROM p)
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#pdf') AS url,
+               CAST(page AS INTEGER) AS page,
+               CAST(length(text) - length(replace(text, chr(10), ''))
+                    + 1 AS INTEGER) AS n_lines,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               text,
+               true AS decoded,
+               note
+        FROM pages"""
 
     # frame sampling: 4 evenly-spaced char windows + sha256 per window
     o["frame_sample"] = f"""

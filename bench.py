@@ -153,7 +153,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_score",
         "doc_fingerprint", "lang_id", "clean_text", "repetition_stats",
         "curation_pipeline", "binary_meta", "image_features",
-        "audio_features", "css_serialize_api", "kernel_iterator_api",
+        "audio_features", "pdf_text_extract", "css_serialize_api",
+        "kernel_iterator_api",
         "q1_pricing",
         "q3_top_orders", "events_topk", "part_shipped",
     ]
@@ -327,6 +328,7 @@ def main() -> None:
     # current run (host noise windows make single runs unrepresentative)
     hist_path = ROOT / "BENCH" / "history.jsonl"
     hist_entry = {
+        "sf": float(sf),
         "efficiency": efficiency,
         "ratio_of_medians": eff_ratio_of_medians,
         "pair": f"{low_cores}->{hi_cores}",
@@ -337,9 +339,13 @@ def main() -> None:
     }
     with hist_path.open("a", encoding="utf-8") as f:
         f.write(json.dumps(hist_entry) + "\n")
+    # best across runs AT THIS SF only (legacy entries without "sf"
+    # were all recorded at sf0.1)
     best_eff = max(
-        (json.loads(line)["efficiency"]
-         for line in hist_path.read_text().splitlines() if line.strip()),
+        (e["efficiency"] for e in
+         (json.loads(line)
+          for line in hist_path.read_text().splitlines() if line.strip())
+         if e.get("sf", 0.1) == float(sf)),
         default=efficiency)
     result["scaling"]["best_observed_efficiency"] = best_eff
     _write_baseline_md(result, low_cores, hi_cores)

@@ -353,6 +353,128 @@ def render_wav(docs: DataFrame) -> DataFrame:
         payload.alias("payload"))
 
 
+# --- synthesized PDF corpus (north-rule "PDF/layout parse") --------------
+# Structurally valid 3-page PDFs built ENTIRELY from JVM expressions:
+# classic xref table with correct byte offsets (cumulative F.length over
+# the object columns), page tree (/Pages → 3 /Kids), per-page content
+# streams whose text-show operators carry closed-form text in doc_id —
+# so the DuckDB oracle verifies the real parser (operators/pdftext.py):
+# xref walk, /Length-delimited stream extraction, FlateDecode (page 3's
+# constant colophon stream is zlib-compressed once at plan-build time),
+# escape/hex/TJ string forms, and the LAYOUT re-sort (page 1's body
+# lines are painted in REVERSE stream order; only a y-sort restores
+# reading order).
+
+_PDF_HEADER = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+_PDF_COLOPHON_STREAM = (
+    "BT /F1 12 Tf 14 TL 72 720 Td (Colophon page) Tj T* "
+    "(Synthesized deterministic corpus) Tj ET\n"
+)
+
+
+def _pdf_obj(num: int, body) -> "F.Column":
+    return F.concat(F.lit(f"{num} 0 obj\n".encode("ascii")), body,
+                    F.lit(b"endobj\n"))
+
+
+def _pdf_stream_obj(num: int, data, filt: str = "") -> "F.Column":
+    """Stream object: /Length is the exact byte length of the data
+    column (F.length on binary = bytes), EOL before endstream excluded
+    per spec 7.3.8.1."""
+    return _pdf_obj(num, F.concat(
+        F.lit(b"<< /Length "),
+        F.encode(F.length(data).cast("string"), "utf-8"),
+        F.lit((filt + " >>\nstream\n").encode("ascii")),
+        data, F.lit(b"\nendstream\n")))
+
+
+def _pdf_page_obj(num: int, contents: int) -> "F.Column":
+    return _pdf_obj(num, F.lit((
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 9 0 R >> >> "
+        f"/Contents {contents} 0 R >>\n").encode("ascii")))
+
+
+def render_pdf(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, …) → (url, payload binary): a valid 3-page PDF
+    whose extracted page texts are closed-form in doc_id.
+
+    Page 1 (uncompressed): a TJ heading with kerning numbers, then
+    doc_id%3+1 body lines painted in REVERSE stream order (the layout
+    y-sort is load-bearing), an escape-heavy line, and a hex-string
+    line.  Page 2 (uncompressed): Tj + relative TD second line.
+    Page 3 (/Filter /FlateDecode): constant colophon, compressed once
+    in Python at plan-build time (F.lit of the deflate bytes — Spark
+    has no deflate built-in, and a constant stream keeps it
+    deterministic)."""
+    import zlib
+
+    doc_id = F.col("doc_id").cast("bigint")
+    sid = doc_id.cast("string")
+
+    def body_line(i: int):
+        return F.concat(
+            F.lit(f"BT /F1 12 Tf 72 {700 - 14 * i} Td "
+                  f"(Body line {i} of document "),
+            sid, F.lit(") Tj ET\n"))
+
+    body_rev = (
+        F.when(doc_id % 3 == 2,
+               F.concat(body_line(3), body_line(2), body_line(1)))
+        .when(doc_id % 3 == 1, F.concat(body_line(2), body_line(1)))
+        .otherwise(body_line(1)))
+    heading = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td "
+              "[(Heading for ) -20 (document ) -18 ("),
+        sid, F.lit(")] TJ ET\n"))
+    c1 = F.encode(F.concat(
+        body_rev, heading,
+        F.lit("BT /F1 12 Tf 72 640 Td "
+              "(Escape \\(parens\\) \\\\ slash) Tj ET\n"),
+        F.lit("BT /F1 12 Tf 72 620 Td <486578206c696e65> Tj ET\n"),
+    ), "utf-8")
+    c2 = F.encode(F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td (Document "), sid,
+        F.lit(" continued on page 2) Tj 0 -14 TD (Token "),
+        (doc_id % 100).cast("string"),
+        F.lit(" of section "), (doc_id % 7).cast("string"),
+        F.lit(") Tj ET\n")), "utf-8")
+    c3 = F.lit(zlib.compress(_PDF_COLOPHON_STREAM.encode("ascii"), 9))
+
+    objs = [
+        _pdf_obj(1, F.lit(b"<< /Type /Catalog /Pages 2 0 R >>\n")),
+        _pdf_obj(2, F.lit(
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>\n")),
+        _pdf_page_obj(3, contents=4),
+        _pdf_stream_obj(4, c1),
+        _pdf_page_obj(5, contents=6),
+        _pdf_stream_obj(6, c2),
+        _pdf_page_obj(7, contents=8),
+        _pdf_stream_obj(8, c3, filt=" /Filter /FlateDecode"),
+        _pdf_obj(9, F.lit(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")),
+    ]
+    # cumulative byte offsets → a CORRECT classic xref table
+    offsets = []
+    acc = F.lit(len(_PDF_HEADER)).cast("bigint")
+    for o in objs:
+        offsets.append(acc)
+        acc = acc + F.length(o).cast("bigint")
+    xref_entries = [F.lit(b"0000000000 65535 f \n")] + [
+        F.concat(F.encode(F.lpad(off.cast("string"), 10, "0"), "utf-8"),
+                 F.lit(b" 00000 n \n"))
+        for off in offsets]
+    payload = F.concat(
+        F.lit(_PDF_HEADER), *objs,
+        F.lit(b"xref\n0 10\n"), *xref_entries,
+        F.lit(b"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n"),
+        F.encode(acc.cast("string"), "utf-8"),
+        F.lit(b"\n%%EOF"))
+    return docs.select(
+        F.format_string("doc://%s/%s#pdf", "source", "doc_id").alias("url"),
+        payload.alias("payload"))
+
+
 def render_html_heavy(docs: DataFrame, paras: int = 40) -> DataFrame:
     """Bench-realistic pages (~10-40 KB): ``paras`` indexed paragraphs
     plus a nav link list and a style block.  Still pure JVM expressions

@@ -376,3 +376,112 @@ def test_cluster_lineage_truncated(spark):
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_pdf_payloads_are_wellformed(spark):
+    """The synthesized PDF column must satisfy INDEPENDENT structural
+    checks (startxref points at the xref table, every xref offset
+    lands on its own ``N 0 obj`` header, page 3's stream inflates with
+    stdlib zlib to the colophon constant), and the real parser must
+    extract the closed-form page texts with decoded=true."""
+    import re
+    import zlib
+
+    from simple_html_parser_spark.operators.pdftext import (
+        extract_pdf_text,
+    )
+    from simple_html_parser_spark.sources.documents import (
+        _PDF_COLOPHON_STREAM, render_pdf,
+    )
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet").limit(24)
+    pdf = render_pdf(raw)
+    for r in pdf.collect():
+        b = bytes(r.payload)
+        assert b.startswith(b"%PDF-1.4\n")
+        m = re.search(rb"startxref\s+(\d+)\s*%%EOF$", b)
+        xo = int(m.group(1))
+        assert b[xo:xo + 4] == b"xref"
+        # every in-use xref entry points at its own object header
+        table = b[xo:xo + 4 + 8 + 10 * 20]
+        for num, em in enumerate(
+                re.finditer(rb"(\d{10}) (\d{5}) ([nf])", table)):
+            if em.group(3) == b"n":
+                off = int(em.group(1))
+                assert b[off:].startswith(f"{num} 0 obj".encode()), num
+        # page 3's FlateDecode stream inflates to the colophon
+        s8 = b[b.index(b"8 0 obj"):b.index(b"9 0 obj")]
+        ln = int(re.search(rb"/Length (\d+)", s8).group(1))
+        data = s8[s8.index(b"stream\n") + 7:][:ln]
+        assert zlib.decompress(data).decode() == _PDF_COLOPHON_STREAM
+
+    texts = {(r.url, r.page): r for r in
+             extract_pdf_text(pdf).collect()}
+    for r in raw.collect():
+        url = f"doc://{r.source}/{r.doc_id}#pdf"
+        p1 = texts[(url, 1)]
+        assert p1.decoded and p1.note == "pdf-text via=xref filter=none"
+        lines = p1.text.split("\n")
+        # layout re-sort: the heading is painted LAST of the body block
+        # in the stream but must come FIRST in reading order
+        assert lines[0] == f"Heading for document {r.doc_id}"
+        k = r.doc_id % 3 + 1
+        assert lines[1:1 + k] == [
+            f"Body line {i} of document {r.doc_id}"
+            for i in range(1, k + 1)]
+        assert lines[1 + k] == "Escape (parens) \\ slash"
+        assert lines[2 + k] == "Hex line"
+        assert p1.n_lines == k + 3 and p1.n_chars == len(p1.text)
+        assert texts[(url, 3)].note == "pdf-text via=xref filter=flate"
+
+
+def test_pdf_malformed_recovery():
+    """A corrupt/absent xref falls back to the object scan (via=scan);
+    garbage payloads yield decoded=false rows, never failures."""
+    import pandas as pd
+
+    from simple_html_parser_spark.operators.pdftext import (
+        decode_pdf_batch, parse_pdf_pages,
+    )
+
+    c1 = b"BT /F1 12 Tf 72 720 Td (hello world) Tj ET\n"
+    good = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c1)).encode()
+        + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n")
+    # no xref at all -> scan recovery still extracts the text
+    pages = parse_pdf_pages(good + b"%%EOF")
+    assert pages == [(1, "hello world", "pdf-text via=scan filter=none")]
+    # a startxref pointing into the weeds -> scan recovery
+    broken = good + b"startxref\n2\n%%EOF"
+    assert parse_pdf_pages(broken)[0][2] == "pdf-text via=scan filter=none"
+    out = decode_pdf_batch(
+        pd.Series(["a", "b", "c"]),
+        pd.Series([good + b"%%EOF", b"\x00\x01garbage", b""]))
+    assert list(out.decoded) == [True, False, False]
+    assert list(out.page) == [1, 0, 0]
+
+
+def test_pdf_content_stream_operators():
+    """Tokenizer unit coverage: TJ kerning arrays, octal/newline
+    escapes, hex strings with odd digits, Tm positioning, TL/T*
+    leading, and the ' (move-show) operator."""
+    from simple_html_parser_spark.operators.pdftext import (
+        _content_shows, _layout_lines,
+    )
+
+    shows = _content_shows(
+        b"BT 12 TL 10 700 Td [(a) -20 (b) 5 (c)] TJ "
+        b"T* (second \\154in\\145) Tj "
+        b"0 0 1 1 30 650 Tm <4f44444> Tj "
+        b"' ET")
+    # ' with empty stack shows nothing; three real shows
+    texts = _layout_lines(shows)
+    assert texts == ["abc", "second line", "ODD@"]
+    # octal + paren escapes + continuation
+    shows = _content_shows(
+        b"BT 0 10 Td (par\\)en \\\\ \\156 x\\\n y) Tj ET")
+    assert _layout_lines(shows) == ["par)en \\ n x y"]

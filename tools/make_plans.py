@@ -77,6 +77,12 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "windowed digests via explode+substr+sha2 — pure built-ins, "
      "whole-stage codegen, no Python stage",
      ["Generate"], ["MapInArrow", "MapInPandas"]),
+    ("pdf_text_extract",
+     "north-rule PDF/layout parse: payloads rendered JVM-side "
+     "(codegen concat/length — the xref offsets are column "
+     "expressions), then ONE Arrow-batched MapInPandas stage; no "
+     "shuffle anywhere; scan pruned to (doc_id, source)",
+     ["MapInPandas"], ["Exchange"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
