@@ -90,3 +90,49 @@ def test_void_elems_match_reference_list():
     assert VOID_ELEMS == frozenset(
         "img br hr input meta link area base col embed param source "
         "track wbr".split())
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_pdf_parser_never_crashes_on_garbage(b):
+    """decode_pdf_batch must isolate ANY payload — raw garbage as well
+    as %PDF-prefixed garbage — into rows, never exceptions (the
+    poison-payload guarantee at crawl scale)."""
+    import pandas as pd
+
+    from simple_html_parser_spark.operators.pdftext import (
+        decode_pdf_batch,
+    )
+    out = decode_pdf_batch(
+        pd.Series(["u", "v"]), pd.Series([b, b"%PDF-1.4\n" + b]))
+    assert len(out) >= 2 and set(out.columns) >= {"page", "decoded"}
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 120))
+@settings(max_examples=150, deadline=None)
+def test_pdf_parser_survives_point_mutations(seed, ndel):
+    """A structurally valid PDF with random byte flips/deletions must
+    either parse or fall back — never raise out of the batch API."""
+    import random
+
+    import pandas as pd
+
+    from simple_html_parser_spark.operators.pdftext import (
+        decode_pdf_batch,
+    )
+
+    c1 = b"BT /F1 12 Tf 72 720 Td (mutation corpus) Tj ET\n"
+    base = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c1)).encode()
+        + b" >>\nstream\n" + c1 + b"\nendstream\nendobj\n%%EOF")
+    rng = random.Random(seed)
+    m = bytearray(base)
+    for _ in range(rng.randint(1, 8)):
+        m[rng.randrange(len(m))] = rng.randrange(256)
+    del m[len(m) - ndel:]
+    out = decode_pdf_batch(pd.Series(["u"]), pd.Series([bytes(m)]))
+    assert len(out) >= 1
