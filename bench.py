@@ -219,6 +219,35 @@ class _Worker:
         self.proc.wait(timeout=60)
 
 
+def _ctl_spin(n: int) -> float:
+    """Pure-CPU spin (sha256 chain, zero I/O, zero Spark) — the
+    per-pair host-noise control workload."""
+    import hashlib
+    import time as _t
+
+    h = b"x" * 1000
+    t0 = _t.perf_counter()
+    for _ in range(n):
+        h = hashlib.sha256(h).digest() + b"y" * 968
+    return _t.perf_counter() - t0
+
+
+def _host_control(n: int = 1_000_000) -> float:
+    """Spark-free 1→4-process scaling efficiency of the HOST right
+    now (~2 s).  On a quiet host this is ~0.95-1.0; inside one of the
+    VM's multi-minute interference windows it collapses to 0.5-0.8.
+    Measured around every scaling pair so pairs that straddle a noise
+    window are identified by instrument, not by eyeball."""
+    import multiprocessing as mp
+
+    t1 = _ctl_spin(n)
+    with mp.Pool(4) as p:
+        t0 = time.perf_counter()
+        p.map(_ctl_spin, [n] * 4)
+        wall4 = time.perf_counter() - t0
+    return round(t1 / wall4, 3)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--serve":
         master, sf_dir, mult = sys.argv[2], sys.argv[3], int(sys.argv[4])
@@ -242,35 +271,60 @@ def main() -> None:
     # is the MEDIAN per-pair efficiency (VERDICT r01 item 10).
     log(f"scaling: starting persistent workers local[{low_cores}] / "
         f"local[{hi_cores}], mult={SCALING_MULT}, {pairs} pairs ...")
+    # host-noise gating: a Spark-free CPU control runs BEFORE and
+    # AFTER each pair; a pair is CLEAN iff both controls clear the
+    # threshold (the pair did not straddle an interference window).
+    # Noisy pairs are retried (bounded) and still recorded — the
+    # committed number is the median over clean pairs when at least
+    # `pairs` of them exist, else the median over everything, with
+    # the controls published either way.  This measures the ENGINE:
+    # a wall-clock ratio taken while a noisy neighbor holds half the
+    # vCPUs is a measurement of the neighbor.
+    ctl_min = float(os.environ.get("SPARK_GRAFT_BENCH_CTL_MIN", "0.85"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAIRS",
+                                   str(pairs + 5)))
     w_lo = _Worker(low_cores, SF_DIR, SCALING_MULT)
     w_hi = _Worker(hi_cores, SF_DIR, SCALING_MULT)
     pair_results: list[dict] = []
     try:
-        for i in range(pairs):
+        ctl = _host_control()
+        for i in range(max_pairs):
             order = (w_lo, w_hi) if i % 2 == 0 else (w_hi, w_lo)
             got = {w.cores: w.run() for w in order}
+            ctl_after = _host_control()
             eff = round((got[hi_cores]["docs_per_s"]
                          / got[low_cores]["docs_per_s"]) / 4.0, 3)
+            clean = min(ctl, ctl_after) >= ctl_min
             pair_results.append(
-                {"eff": eff, low_cores: got[low_cores],
-                 hi_cores: got[hi_cores]})
+                {"eff": eff, "clean": clean,
+                 "host_ctl": [ctl, ctl_after],
+                 low_cores: got[low_cores], hi_cores: got[hi_cores]})
             log(f"  pair {i}: lo {got[low_cores]['wall_s']}s "
-                f"hi {got[hi_cores]['wall_s']}s eff={eff}")
+                f"hi {got[hi_cores]['wall_s']}s eff={eff} "
+                f"ctl={ctl}/{ctl_after}"
+                + ("" if clean else "  [NOISY — host, not engine]"))
+            ctl = ctl_after
+            if sum(p["clean"] for p in pair_results) >= pairs:
+                break
     finally:
         w_lo.close()
         w_hi.close()
+    clean_pairs = [p for p in pair_results if p["clean"]]
+    basis = clean_pairs if len(clean_pairs) >= min(
+        pairs, len(pair_results)) else pair_results
     per_round_eff = [p["eff"] for p in pair_results]
-    ranked = sorted(range(len(pair_results)),
-                    key=lambda i: per_round_eff[i])
-    median_idx = ranked[len(ranked) // 2]
-    efficiency = per_round_eff[median_idx]
+    basis_eff = [p["eff"] for p in basis]
+    ranked = sorted(range(len(basis)), key=lambda i: basis_eff[i])
+    median_idx_b = ranked[len(ranked) // 2]
+    efficiency = basis_eff[median_idx_b]
+    median_idx = pair_results.index(basis[median_idx_b])
     # secondary robust stat: ratio of per-side median rates — immune to
     # a noise spike landing inside one half of one pair (the per-pair
     # median treats that pair as signal; the per-side median does not)
     med_lo = sorted(p[low_cores]["docs_per_s"]
-                    for p in pair_results)[len(pair_results) // 2]
+                    for p in basis)[len(basis) // 2]
     med_hi = sorted(p[hi_cores]["docs_per_s"]
-                    for p in pair_results)[len(pair_results) // 2]
+                    for p in basis)[len(basis) // 2]
     eff_ratio_of_medians = round(med_hi / med_lo / 4.0, 3)
     scaling[str(low_cores)] = pair_results[median_idx][low_cores]
     scaling[str(hi_cores)] = pair_results[median_idx][hi_cores]
@@ -311,10 +365,16 @@ def main() -> None:
             f"local[{low_cores}]": scaling[str(low_cores)],
             f"local[{hi_cores}]": scaling[str(hi_cores)],
             "efficiency": efficiency,
-            "efficiency_method": "median of %d interleaved N<->4N "
-                                 "pairs, both JVMs persistent, order "
-                                 "alternated per pair" % pairs,
+            "efficiency_method": "median over host-control-CLEAN "
+                                 "interleaved N<->4N pairs (target %d "
+                                 "clean; Spark-free CPU control >= "
+                                 "%.2f before AND after each pair), "
+                                 "both JVMs persistent, order "
+                                 "alternated per pair" % (pairs, ctl_min),
             "per_pair_efficiency": per_round_eff,
+            "per_pair_clean": [p["clean"] for p in pair_results],
+            "per_pair_host_ctl": [p["host_ctl"] for p in pair_results],
+            "clean_pair_efficiency": basis_eff,
             "efficiency_ratio_of_medians": eff_ratio_of_medians,
             "engine_efficiency_cpu_normalized": engine_efficiency,
             "gate": ">=0.8 per BASELINE.json north_rule (N->4N)",
@@ -333,6 +393,8 @@ def main() -> None:
         "ratio_of_medians": eff_ratio_of_medians,
         "pair": f"{low_cores}->{hi_cores}",
         "per_round": per_round_eff,
+        "per_round_clean": [p["clean"] for p in pair_results],
+        "per_round_host_ctl": [p["host_ctl"] for p in pair_results],
         "engine_efficiency": engine_efficiency,
         "hi_mb_per_s": scaling[str(hi_cores)]["mb_per_s"],
         "headline_total_s": total,
@@ -371,11 +433,18 @@ with one unmeasured full run before the timed pairs).
 | local[{hi_cores}] | {hi['docs']} | {hi['wall_s']} | {hi['docs_per_s']} | {hi['mb_per_s']} |
 
 **Scaling efficiency ({low_cores}→{hi_cores} cores: N→4N):
-{s['efficiency']}** — the MEDIAN of {len(s['per_pair_efficiency'])}
+{s['efficiency']}** — the MEDIAN over host-control-CLEAN
 interleaved pairs (both JVMs persistent + fully warmed, each pinned to
 its core budget via -XX:ActiveProcessorCount, one timed run each
 back-to-back inside the same host-noise window, order alternated per
-pair; per-pair: {s['per_pair_efficiency']}).  Ratio of per-side median
+pair).  A pair is CLEAN when a Spark-free 4-process CPU control
+(sha256 spin, no engine code) scales ≥ the threshold both immediately
+before and after it — an instrumented version of the control
+experiment below, catching pairs that straddle one of the VM's
+interference windows.  Per-pair efficiency:
+{s['per_pair_efficiency']}, clean: {s['per_pair_clean']},
+host controls (before/after): {s['per_pair_host_ctl']}.
+Ratio of per-side median
 rates: {s['efficiency_ratio_of_medians']} (robust to a noise spike
 inside one half of one pair).  Best observed across runs:
 {s.get('best_observed_efficiency', s['efficiency'])}.  Gate ≥ 0.8,

@@ -364,6 +364,22 @@ def insert_adjacent_html(
             f"Invalid position: {position}. Must be one of: "
             + ", ".join(valid))
 
+    # node.js:1637-1641 — the parser lives on the TRUE root only, so a
+    # DETACHED node's parent walk ends at a parserless local root and
+    # throws.  Observable after e.g. replaceWith(self): the reference
+    # re-inserts the node but still nulls parent on the whole delete
+    # set (node.js:1899-1902, mirrored in replace_with below), leaving
+    # an in-tree subtree whose parents are all null; css children under
+    # a style block hit the same wall via the detached css-root
+    # (simple-html-parser.js:144).  Found by differential fuzz seed 777.
+    root = target
+    while tree.parent[root] >= 0:
+        root = tree.parent[root]
+    if root != 0:
+        raise ValueError(
+            "Parser not found. Node tree must be created via "
+            "parser.parse()")
+
     parsed = parse_html(html, special_tags)
     new_root = graft(tree, parsed, 0)
     nodes_to_insert = list(tree.children[new_root])

@@ -136,3 +136,25 @@ def test_pdf_parser_survives_point_mutations(seed, ndel):
     del m[len(m) - ndel:]
     out = decode_pdf_batch(pd.Series(["u"]), pd.Series([bytes(m)]))
     assert len(out) >= 1
+
+
+def test_replace_with_self_detaches_for_iah():
+    """Reference parity (node.js:1899-1902 + 1637-1641, fuzz seed
+    777): replaceWith(self) re-inserts the node but still nulls parent
+    across the delete set, so a later insertAdjacentHTML on the node or
+    any descendant walks to a parserless local root and throws."""
+    import pytest as _pt
+
+    from simple_html_parser_spark.kernel import manipulate, selector
+
+    tree = parse_html('<div id="w"><p class="a">x</p></div><ul><li>z'
+                      '</li></ul>')
+    w = selector.query_selector(tree, 0, "#w")
+    manipulate.replace_with(tree, w, w)
+    # the splice-at-stale-index quirk ate the <ul> siblings
+    assert "ul" not in to_html(tree, 0, False)
+    p = selector.query_selector(tree, w, ".a")
+    with _pt.raises(ValueError, match="Parser not found"):
+        manipulate.insert_adjacent_html(tree, p, "afterbegin", "<b>y</b>")
+    with _pt.raises(ValueError, match="Parser not found"):
+        manipulate.insert_adjacent_html(tree, w, "afterbegin", "<b>y</b>")
