@@ -159,24 +159,11 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "q3_top_orders", "events_topk", "part_shipped",
     ]
     trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))
-    out = {}
-    for name in names:
-        walls = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            walls.append(round(time.perf_counter() - t0, 3))
-        # host-noise guard: if the two trials disagree by >2x, a noise
-        # window straddled them — one extra trial, keep the min
-        if len(walls) >= 2 and max(walls) > 2 * min(walls):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            walls.append(round(time.perf_counter() - t0, 3))
-        out[name] = min(walls)
-        log(f"  {name}: {out[name]}s ({n} rows) {walls}")
-        # hygiene: several queries persist/localCheckpoint frames
-        # (LSH shingles, k-means sweeps); left in place they accrete
+    ctl_min = float(os.environ.get("SPARK_GRAFT_BENCH_CTL_MIN", "0.85"))
+
+    def _hygiene():
+        # several queries persist/localCheckpoint frames (LSH
+        # shingles, k-means sweeps); left in place they accrete
         # executor memory across the session and degrade every LATER
         # query (r3: a 146s kmeans trial and an 11.5s q3 traced to
         # this).  Clear between queries so each is measured on a
@@ -187,8 +174,48 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         gc.collect()
         try:
             spark._jvm.System.gc()
-        except Exception:
+        except Exception:  # noqa: BLE001
             pass
+
+    def _timed(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
+    out = {}
+    noisy: list[str] = []
+    ctl = _host_control(400_000)
+    for name in names:
+        walls = [_timed(name) for _ in range(trials)]
+        # in-flight noise guard: if the trials disagree by >2x, a
+        # noise window straddled them — one extra trial, keep the min
+        if len(walls) >= 2 and max(walls) > 2 * min(walls):
+            walls.append(_timed(name))
+        out[name] = min(walls)
+        # Spark-free host control AFTER the trials: a measurement taken
+        # while a noisy neighbor holds the vCPUs times the neighbor,
+        # not the engine — flag it and re-measure in a clean window in
+        # the second pass below (one full run here was 2-3x slower on
+        # IDENTICAL code purely from such a window)
+        ctl_after = _host_control(400_000)
+        clean = min(ctl, ctl_after) >= ctl_min
+        if not clean:
+            noisy.append(name)
+        log(f"  {name}: {out[name]}s {walls} ctl={ctl}/{ctl_after}"
+            + ("" if clean else "  [NOISY]"))
+        ctl = ctl_after
+        _hygiene()
+    # second pass: one clean-window retrial per noise-flagged query
+    for name in noisy:
+        ctl = _host_control(400_000)
+        if ctl < ctl_min:
+            log(f"  retry {name}: host still noisy (ctl={ctl}), keeping "
+                f"{out[name]}s")
+            continue
+        w = _timed(name)
+        log(f"  retry {name}: {w}s (was {out[name]}s, ctl={ctl})")
+        out[name] = min(out[name], w)
+        _hygiene()
     return out
 
 
