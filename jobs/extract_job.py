@@ -4,7 +4,11 @@
         jobs/extract_job.py \\
         --input /path/to/crawl_table --output /path/to/extracted \\
         --lineage /path/to/lineage --run-id crawl-2025-01 \\
-        --buckets 16384 --profile parity [--resume]
+        --buckets 16384 --profile parity
+
+Resume is implicit: completed buckets are read from the lineage table
+and anti-joined away, so re-submitting the same run-id continues where
+the previous driver died.
 
 Reads a crawl-shaped table (url, warc_ts, html, text, lang — parquet
 here, Iceberg in production via --format iceberg), runs the parity or

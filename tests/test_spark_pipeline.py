@@ -485,3 +485,52 @@ def test_pdf_content_stream_operators():
     shows = _content_shows(
         b"BT 0 10 Td (par\\)en \\\\ \\156 x\\\n y) Tj ET")
     assert _layout_lines(shows) == ["par)en \\ n x y"]
+
+
+def test_spark_submit_pyfiles_job(spark, tmp_path):
+    """The PRODUCTION entry shape (north rule): spark-submit --py-files
+    <zip> jobs/extract_job.py.  Runs from a neutral cwd so the package
+    import genuinely resolves from the zip, asserts the extracted
+    output and the implicit lineage resume (second submit processes 0
+    buckets)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    from package_pyfiles import build
+
+    from simple_html_parser_spark.sources.documents import render_html
+
+    zip_path = build(str(tmp_path / "pyfiles.zip"))
+    inp = str(tmp_path / "crawl")
+    raw = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    render_html(raw).write.parquet(inp)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2",
+               PYTHONPATH="")  # the zip must supply the package
+    def submit():
+        p = subprocess.run(
+            ["/opt/spark/bin/spark-submit", "--master", "local[2]",
+             "--py-files", zip_path,
+             str(ROOT / "jobs" / "extract_job.py"),
+             "--input", inp, "--output", str(tmp_path / "out"),
+             "--lineage", str(tmp_path / "lineage"),
+             "--run-id", "t1", "--buckets", "4"],
+            capture_output=True, text=True, env=env,
+            cwd=str(tmp_path), timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        stats_line = next(l for l in p.stdout.splitlines()
+                          if l.startswith("{"))
+        return _json.loads(stats_line)
+
+    stats1 = submit()
+    assert stats1["buckets_processed"] == 4 and stats1["docs"] == 40
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 40
+    assert got.where(F.col("extracted_text") == "").count() == 0
+    # implicit resume: same run-id again → lineage anti-join skips all
+    stats2 = submit()
+    assert stats2["buckets_processed"] == 0
+    assert stats2["buckets_done_before"] == 4
