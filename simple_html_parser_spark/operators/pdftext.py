@@ -284,9 +284,16 @@ def _obj_body(b: bytes, offsets: dict[int, int], num: int) -> bytes:
     return b[m.end():end]
 
 
+# inflation cap: a crawl-tail "flate bomb" (KBs compressing to GBs)
+# must cost one fallback row, not a Python-worker OOM — per-payload
+# try/except cannot catch a worker the kernel killed.
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
 def _stream_data(body: bytes) -> tuple[bytes, str]:
     """(decoded stream bytes, filter note) for a stream object body;
-    /Length delimits the data, /FlateDecode inflates via zlib."""
+    /Length delimits the data, /FlateDecode inflates via zlib with the
+    output capped at MAX_STREAM_BYTES."""
     s = body.find(b"stream")
     if s < 0:
         raise ValueError("not a stream object")
@@ -302,7 +309,11 @@ def _stream_data(body: bytes) -> tuple[bytes, str]:
         i += 1
     data = body[i:i + length]
     if re.search(rb"/Filter\s*/FlateDecode", head):
-        return zlib.decompress(data), "flate"
+        d = zlib.decompressobj()
+        out = d.decompress(data, MAX_STREAM_BYTES)
+        if d.unconsumed_tail:
+            raise ValueError("flate stream exceeds inflation cap")
+        return out, "flate"
     return data, "none"
 
 
@@ -320,20 +331,27 @@ def _page_objects(b: bytes, offsets: dict[int, int],
     pages_root = _ref(_obj_body(b, offsets, root), rb"/Pages")
     if pages_root is None:
         raise ValueError("catalog without /Pages")
+    # iterative DFS with a visited guard: a malicious /Kids cycle or a
+    # million-deep page tree costs one error row, never a stack blowout
+    # or an infinite loop (kernel invariant: all traversals iterative)
     out: list[int] = []
-
-    def walk(num: int) -> None:
+    stack = [pages_root]
+    seen: set[int] = set()
+    while stack:
+        num = stack.pop()
+        if num in seen:
+            raise ValueError("cycle in /Kids page tree")
+        seen.add(num)
         body = _obj_body(b, offsets, num)
         if re.search(rb"/Type\s*/Pages", body):
             m = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
             if not m:
                 raise ValueError("pages node without /Kids")
-            for km in re.finditer(rb"(\d+)\s+\d+\s+R", m.group(1)):
-                walk(int(km.group(1)))
+            kids = [int(km.group(1))
+                    for km in re.finditer(rb"(\d+)\s+\d+\s+R", m.group(1))]
+            stack.extend(reversed(kids))  # preserve document order
         else:
             out.append(num)
-
-    walk(pages_root)
     return out
 
 

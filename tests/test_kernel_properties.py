@@ -158,3 +158,56 @@ def test_replace_with_self_detaches_for_iah():
         manipulate.insert_adjacent_html(tree, p, "afterbegin", "<b>y</b>")
     with _pt.raises(ValueError, match="Parser not found"):
         manipulate.insert_adjacent_html(tree, w, "afterbegin", "<b>y</b>")
+
+
+def test_pdf_adversarial_kids_cycle_and_flate_bomb():
+    """A /Kids cycle must yield a fallback row (not an infinite loop or
+    RecursionError); a flate bomb must hit the inflation cap (not
+    balloon into worker memory)."""
+    import zlib
+
+    import pandas as pd
+
+    from simple_html_parser_spark.operators.pdftext import (
+        decode_pdf_batch, parse_pdf_pages,
+    )
+
+    def obj(num, body):
+        return f"{num} 0 obj\n".encode() + body + b"endobj\n"
+
+    cyclic = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+        + obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+        + obj(3, b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>\n")
+        + b"%%EOF")
+    out = decode_pdf_batch(pd.Series(["c"]), pd.Series([cyclic]))
+    assert list(out.decoded) == [False]
+
+    bomb = zlib.compress(b"\x00" * (80 * 1024 * 1024), 9)  # ~80 KB in
+    c1 = b"BT 0 0 Td (x) Tj ET\n"
+    bombed = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+        + obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+        + obj(3, b"<< /Type /Page /Contents 4 0 R >>\n")
+        + obj(4, b"<< /Length " + str(len(bomb)).encode()
+              + b" /Filter /FlateDecode >>\nstream\n" + bomb
+              + b"\nendstream\n")
+        + b"%%EOF")
+    out = decode_pdf_batch(pd.Series(["b"]), pd.Series([bombed]))
+    assert list(out.decoded) == [False]
+    # a deep-but-legal nested page tree still parses (iterative walk)
+    depth = 3000
+    objs = [obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")]
+    for k in range(depth):
+        objs.append(obj(
+            2 + k, f"<< /Type /Pages /Kids [{3 + k} 0 R] /Count 1 "
+                   f">>\n".encode()))
+    objs.append(obj(2 + depth,
+                    b"<< /Type /Page /Contents "
+                    + str(3 + depth).encode() + b" 0 R >>\n"))
+    objs.append(obj(3 + depth, b"<< /Length " + str(len(c1)).encode()
+                    + b" >>\nstream\n" + c1 + b"\nendstream\n"))
+    deep = b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
+    assert parse_pdf_pages(deep)[0][1] == "x"
