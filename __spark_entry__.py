@@ -46,6 +46,7 @@ from simple_html_parser_spark.operators import pdftext as PDF
 from simple_html_parser_spark.operators import relational as R
 from simple_html_parser_spark.operators import similarity as S
 from simple_html_parser_spark.operators import textstats as T
+from simple_html_parser_spark.operators import weburl as WU
 from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
 )
@@ -54,6 +55,7 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_SERIALIZED,
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
+    CRAWL_REFETCH_MOD, load_crawl,
     load_documents, load_documents_variant, load_table,
     render_pdf, render_png, render_wav,
 )
@@ -124,6 +126,37 @@ _EXF_CTES = f"""
                          * (SELECT count(*) FROM documents)) AS BIGINT))),
         exf AS (SELECT e.doc_id, e.sh FROM ex e
                 ANTI JOIN hot h USING (sh))"""
+
+# crawl fetch log rebuilt closed-form (mirror of
+# sources/documents.py::render_crawl — web-shaped url from
+# (source, lang, doc_id), refetch of every CRAWL_REFETCH_MOD-th page
+# one day later with +17 bytes)
+_CRAWL_CTE = f"""
+        crawl AS (
+            SELECT doc_id, source, lang,
+                   ('https://' || source || '.example.com/' || lang ||
+                    '/sec' || CAST(doc_id % 50 AS VARCHAR) ||
+                    '/doc-' || CAST(doc_id AS VARCHAR) ||
+                    '.html?ref=r' || CAST(doc_id % 7 AS VARCHAR))
+                       AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND
+                       + fetch_seq * INTERVAL 1 DAY AS warc_ts,
+                   CAST(n_chars + 17 * fetch_seq AS BIGINT) AS n_bytes,
+                   CAST(fetch_seq AS BIGINT) AS fetch_seq
+            FROM documents, (SELECT unnest([0, 1]) AS fetch_seq) f
+            WHERE fetch_seq = 0 OR doc_id % {CRAWL_REFETCH_MOD} = 0)"""
+
+
+def _hex6_mod_sql(expr: str, buckets: int = 10000) -> str:
+    """DuckDB replay of weburl.url_hash_bucket: first 6 hex chars of
+    md5(expr) as an integer (digit-by-digit polynomial — DuckDB has no
+    base-16 conv), mod buckets."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1))"
+        f" - 1) * {16 ** (5 - i)}"
+        for i in range(6))
+    return f"(({terms}) % {buckets})"
 
 # ---------------------------------------------------------------------------
 # spark-side helpers
@@ -279,6 +312,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the "auto" boilerplate cut (no-silent-drop principle)
     q["shingle_drop_stats"] = lambda spark, sf: (
         D.shingle_drop_stats(_raw_docs(spark, sf)))
+    # CCNet-style corpus-level line dedup: keep only the globally first
+    # occurrence of each fixed-width token segment
+    q["dedup_lines"] = lambda spark, sf: (
+        D.dedup_lines(_raw_docs(spark, sf)))
+    # benchmark decontamination: per-doc n-gram overlap vs the held-out
+    # slice doc_id % 97 == 0 (stands in for the eval-suite corpus)
+    q["decontaminate"] = lambda spark, sf: (
+        D.decontaminate(_raw_docs(spark, sf)))
+
+    # ---- url layer (crawl fetch log) ----
+    q["crawl_url_parse"] = lambda spark, sf: (
+        WU.url_components(load_crawl(spark, sf)))
+    q["crawl_dedup_latest"] = lambda spark, sf: (
+        WU.url_dedup_latest(load_crawl(spark, sf))
+        .select("url",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("warc_ts"),
+                "n_bytes", "n_fetches"))
+    q["crawl_domain_stats"] = lambda spark, sf: (
+        WU.domain_stats(load_crawl(spark, sf))
+        .select("host", "n_urls", "n_fetches", "total_bytes",
+                F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("latest_ts")))
+    # deterministic md5-bucket sample: the reproducible alternative to
+    # df.sample (same urls in/out under any partitioning or resume)
+    q["crawl_domain_sample"] = lambda spark, sf: (
+        WU.domain_hash_sample(load_crawl(spark, sf), rate_bp=2000)
+        .select("doc_id", "url",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("warc_ts"),
+                "n_bytes", "fetch_seq"))
 
     # ---- similarity / ANN ----
     q["sim_topk"] = lambda spark, sf: S.cosine_topk(
@@ -714,6 +778,84 @@ def oracle_sql() -> dict[str, str]:
                 WHERE NOT EXISTS (SELECT 1 FROM exf e
                                   WHERE e.doc_id = d.doc_id))
                AS n_docs_no_shingles"""
+
+    # CCNet-style line dedup: 8-token segments, keep the globally
+    # first (doc_id, seg_idx) occurrence of each distinct segment,
+    # reassemble survivors in document order
+    o["dedup_lines"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        segs AS (
+            SELECT doc_id,
+                   unnest(range(0,
+                       CAST(ceil(len(t) / 8.0) AS BIGINT))) AS seg_idx,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                       i -> array_to_string(t[(i*8+1):(i*8+8)], ' ')))
+                       AS seg
+            FROM toks WHERE len(t) > 0),
+        r AS (SELECT doc_id, seg_idx, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM segs)
+        SELECT doc_id,
+               coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE rn = 1), '') AS kept_text,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE rn = 1) AS n_kept
+        FROM r GROUP BY doc_id"""
+
+    # benchmark decontamination: 3-gram overlap of every training doc
+    # vs the distinct shingle set of the held-out doc_id % 97 == 0
+    # slice; contam_bp in integer basis points (no float round ties)
+    o["decontaminate"] = f"""
+        WITH tt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                    WHERE doc_id % 97 <> 0),
+        ts AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tt),
+        bt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+               WHERE doc_id % 97 = 0),
+        bs AS (SELECT DISTINCT unnest({_SHINGLES_SQL}) AS sh FROM bt)
+        SELECT doc_id, count(*) AS n_shingles,
+               count(*) FILTER (WHERE sh IN (SELECT sh FROM bs))
+                   AS n_contaminated,
+               (count(*) FILTER (WHERE sh IN (SELECT sh FROM bs)))
+                   * 10000 // count(*) AS contam_bp
+        FROM ts GROUP BY doc_id"""
+
+    # url layer over the synthesized crawl fetch log
+    o["crawl_url_parse"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT DISTINCT url, 'https' AS scheme,
+               (source || '.example.com') AS host,
+               'example.com' AS registered_domain,
+               ('/' || lang || '/sec' || CAST(doc_id % 50 AS VARCHAR) ||
+                '/doc-' || CAST(doc_id AS VARCHAR) || '.html') AS path,
+               ('ref=r' || CAST(doc_id % 7 AS VARCHAR)) AS query
+        FROM crawl"""
+
+    o["crawl_dedup_latest"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT url,
+               strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               max_by(n_bytes, warc_ts) AS n_bytes,
+               count(*) AS n_fetches
+        FROM crawl GROUP BY url"""
+
+    o["crawl_domain_stats"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT (source || '.example.com') AS host,
+               count(DISTINCT url) AS n_urls,
+               count(*) AS n_fetches,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+        FROM crawl GROUP BY source"""
+
+    o["crawl_domain_sample"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT doc_id, url,
+               strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               n_bytes, fetch_seq
+        FROM crawl
+        WHERE {_hex6_mod_sql('url')} < 2000"""
 
     o["clean_text"] = """
         WITH c AS (

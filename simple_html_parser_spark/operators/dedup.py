@@ -471,3 +471,112 @@ def dedup_clusters(
         else:
             labels = new_labels
     return labels
+
+
+# --- line-level (CCNet-style) dedup ---------------------------------------
+
+def segments_col(seg_len: int = 8, toks: Column = None) -> Column:
+    """Non-overlapping fixed-width token segments (space-joined), the
+    "line" unit for corpus-level line dedup on text without newlines;
+    the final partial segment is kept.  Same materialized-``toks``
+    rule as shingles_col (Catalyst re-evaluates inlined token arrays
+    per element — see the CSE note there)."""
+    if toks is None:
+        toks = tokens_col()
+    n = F.size(toks)
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(seg_len)).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_len + 1, seg_len)),
+    )
+    # n == 0 would make the sequence DESCEND (Spark default step -1):
+    # empty docs get an empty segment list, not two phantom segments
+    return F.when(n > 0, segs).otherwise(
+        F.array().cast("array<string>"))
+
+
+def dedup_lines(docs: DataFrame, seg_len: int = 8) -> DataFrame:
+    """CCNet-style corpus-level line dedup: split every document into
+    fixed-width token segments, keep only the globally FIRST occurrence
+    of each distinct segment (first = smallest (doc_id, seg_idx)), and
+    reassemble the survivors in document order.  Returns
+    (doc_id, kept_text, n_segments, n_kept); a fully-duplicated doc
+    survives with kept_text = ''.
+
+    Scale shape (10^12 docs): winner election is a hash AGGREGATE on
+    the segment string with map-side partial min — boilerplate segments
+    duplicated across millions of pages are pre-combined per map task,
+    so the hot keys that would wreck a row_number window sort are
+    absorbed before the exchange.  The seg→winner join back is a
+    shuffle join on the same key (AQE skew-split applies); reassembly
+    is one agg on doc_id.  At prod, shuffle on xxhash64(seg) instead of
+    the raw string to shrink exchange width."""
+    segs = (
+        docs.select("doc_id", tokens_col().alias("_toks"))
+        .select("doc_id",
+                F.posexplode(segments_col(seg_len, F.col("_toks")))
+                .alias("seg_idx", "seg"))
+    )
+    winner = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w"))
+    kept = (
+        segs.join(winner, "seg")
+        .withColumn(
+            "_keep",
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("seg_idx") == F.col("w.seg_idx")))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_keep"),
+                        F.struct("seg_idx", "seg")))),
+                    lambda s: s.seg)).alias("kept_text"),
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"))
+    )
+
+
+# --- benchmark decontamination --------------------------------------------
+
+def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
+                  bench_mod: int = 97, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its n-gram shingles that also occur in a held-out benchmark
+    set.  Returns (doc_id, n_shingles, n_contaminated, contam_bp) for
+    every non-benchmark doc; contam_bp is integer basis points (no
+    float round ties across engines).
+
+    ``bench`` defaults to the deterministic slice
+    doc_id % bench_mod == 0 (stands in for the eval-suite corpus).
+
+    Scale shape: the benchmark shingle set is SMALL relative to the
+    corpus (eval suites are thousands of docs, the crawl is 10^12) —
+    broadcast it and mark hits with a broadcast LEFT join; the corpus
+    side stays a single explode + hash-agg pass, no shuffle on the
+    shingle key at all."""
+    if bench is None:
+        bench = docs.where(F.col("doc_id") % bench_mod == 0)
+        train = docs.where(F.col("doc_id") % bench_mod != 0)
+    else:
+        train = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    bench_sh = (
+        _exploded_shingles(bench, n).select("sh").distinct()
+        .withColumn("_hit", F.lit(1).cast("bigint"))
+    )
+    ex = _exploded_shingles(train, n)
+    return (
+        ex.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.coalesce(F.sum("_hit"), F.lit(0).cast("bigint"))
+             .alias("n_contaminated"))
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            F.expr("n_contaminated * 10000 div n_shingles")
+            .alias("contam_bp"))
+    )

@@ -1,0 +1,91 @@
+"""URL-level operators over the crawl fetch log.
+
+The per-url layer every Common-Crawl-style pipeline runs BEFORE any
+content work: parse/normalize urls, collapse refetches to the latest
+capture, aggregate per site, and take deterministic hash-based samples
+(the reproducible alternative to ``df.sample`` — the same url is always
+in or out regardless of partitioning, executor count, or Spark
+version).
+
+All pure built-in expressions (whole-stage codegen; ``parse_url`` is
+the JVM-side extractor).  Scale shapes:
+
+- ``url_dedup_latest``: ONE hash-aggregate shuffle on url with
+  map-side partial ``max_by`` — never a window (a row_number window
+  would sort inside url groups and cannot partial-aggregate; at 10^12
+  fetch records the agg form is the difference between a combine-then-
+  shuffle of unique urls and a full-log sort).
+- ``domain_stats``: same single-agg shape keyed on host; hosts are
+  Zipf-skewed in real crawls, which partial aggregation absorbs (the
+  hot host is pre-combined per map task before the exchange).
+- ``domain_hash_sample``: a pure filter — no shuffle at all; sampling
+  decisions depend only on md5(url), so resuming or re-running yields
+  the identical sample (the property ``df.sample`` does not give).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_components(crawl: DataFrame) -> DataFrame:
+    """(url, scheme, host, registered_domain, path, query) — one row
+    per distinct url.  ``parse_url`` is the built-in JVM extractor;
+    registered_domain is the last two dot-labels of the host (the
+    public-suffix-list lookup is a broadcast-map refinement at prod)."""
+    u = F.col("url")
+    host = F.parse_url(u, F.lit("HOST"))
+    return crawl.select("url").distinct().select(
+        "url",
+        F.parse_url(u, F.lit("PROTOCOL")).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+        .alias("registered_domain"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+    )
+
+
+def url_dedup_latest(crawl: DataFrame) -> DataFrame:
+    """Collapse refetches: one row per url carrying the LATEST capture
+    (url, warc_ts, n_bytes, n_fetches).  Ties cannot occur (refetch
+    timestamps are strictly later); at prod scale ties break by
+    fetch_seq folded into the ordering key."""
+    return (
+        crawl.groupBy("url")
+        .agg(F.max("warc_ts").alias("warc_ts"),
+             F.max_by("n_bytes", "warc_ts").alias("n_bytes"),
+             F.count("*").alias("n_fetches"))
+    )
+
+
+def domain_stats(crawl: DataFrame) -> DataFrame:
+    """Per-host crawl aggregates:
+    (host, n_urls, n_fetches, total_bytes, latest_ts)."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        crawl.select(host.alias("host"), "url", "warc_ts", "n_bytes")
+        .groupBy("host")
+        .agg(F.count_distinct("url").alias("n_urls"),
+             F.count("*").alias("n_fetches"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.max("warc_ts").alias("latest_ts"))
+    )
+
+
+def url_hash_bucket(col: Column, buckets: int = 10000) -> Column:
+    """Deterministic bucket in [0, buckets): the first 6 hex chars of
+    md5(url) as an integer, mod buckets.  md5 (not xxhash64) because it
+    is bit-identical across engines and Spark versions — the sampling
+    decision is part of the dataset contract, reproducible anywhere
+    (the DuckDB oracle replays it digit-by-digit)."""
+    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10)
+            .cast("bigint") % buckets)
+
+
+def domain_hash_sample(crawl: DataFrame, rate_bp: int = 2000) -> DataFrame:
+    """Keep urls whose md5 bucket < rate_bp (of 10000): a deterministic
+    ~rate_bp/10000 sample, stable under repartitioning and resume.
+    Returns the surviving fetch-log rows."""
+    return crawl.where(url_hash_bucket(F.col("url")) < F.lit(rate_bp))

@@ -265,6 +265,50 @@ def load_documents_variant(spark: SparkSession, sf_dir: str,
     return render_variant(load_table(spark, sf_dir, "documents"), variant)
 
 
+# --- crawl fetch log (web-shaped urls + refetches) ------------------------
+# Common-Crawl-style fetch log for the URL-level operators
+# (operators/weburl.py): every page gets a realistic https url built
+# closed-form from (source, lang, doc_id), and every
+# CRAWL_REFETCH_MOD-th page appears TWICE — the refetch one day later
+# with a different byte count — so url-level dedup-by-recency is
+# non-vacuous.  Pure JVM expressions; the DuckDB oracles rebuild the
+# identical log from the same closed forms (__spark_entry__._CRAWL_CTE).
+
+CRAWL_REFETCH_MOD = 3
+CRAWL_EPOCH = "2025-01-01 00:00:00"
+
+
+def render_crawl(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang, source, n_chars) → fetch log
+    (doc_id, url, warc_ts, n_bytes, fetch_seq)."""
+    url = F.format_string(
+        "https://%s.example.com/%s/sec%s/doc-%s.html?ref=r%s",
+        F.col("source"), F.col("lang"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.col("doc_id").cast("string"),
+        (F.col("doc_id") % 7).cast("string"))
+    base = docs.select(
+        "doc_id", url.alias("url"),
+        (F.lit(CRAWL_EPOCH).cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.col("n_chars").cast("bigint").alias("n_bytes"),
+        F.lit(0).cast("bigint").alias("fetch_seq"),
+    )
+    refetch = base.where(F.col("doc_id") % CRAWL_REFETCH_MOD == 0).select(
+        "doc_id", "url",
+        (F.col("warc_ts") + F.make_interval(days=F.lit(1))).alias("warc_ts"),
+        (F.col("n_bytes") + F.lit(17)).alias("n_bytes"),
+        F.lit(1).cast("bigint").alias("fetch_seq"),
+    )
+    return base.unionByName(refetch)
+
+
+def load_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl fetch log for a testdata sf dir."""
+    return render_crawl(load_table(spark, sf_dir, "documents"))
+
+
 # --- multimodal binary payloads (closed-form headers) ---------------------
 # Deterministic PNG / WAV byte columns rendered ENTIRELY JVM-side, so
 # the real header decoders (operators/multimodal.py) can be checked by

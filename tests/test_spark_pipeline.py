@@ -534,3 +534,92 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
     stats2 = submit()
     assert stats2["buckets_processed"] == 0
     assert stats2["buckets_done_before"] == 4
+
+
+def test_crawl_url_layer(spark):
+    """URL ops: refetch collapse keeps the later capture; the md5
+    sample is deterministic under repartitioning; components parse."""
+    from simple_html_parser_spark.operators import weburl as WU
+    from simple_html_parser_spark.sources.documents import (
+        CRAWL_REFETCH_MOD, load_crawl, load_table,
+    )
+
+    crawl = load_crawl(spark, SF)
+    n_docs = load_table(spark, SF, "documents").count()
+    n_refetched = crawl.where(F.col("fetch_seq") == 1).count()
+    assert n_refetched == (n_docs + CRAWL_REFETCH_MOD - 1) \
+        // CRAWL_REFETCH_MOD
+
+    latest = WU.url_dedup_latest(crawl)
+    assert latest.count() == n_docs
+    # every refetched url must carry the refetch's byte count (+17)
+    twice = latest.where(F.col("n_fetches") == 2)
+    assert twice.count() == n_refetched
+    joined = (twice.alias("l")
+              .join(crawl.where(F.col("fetch_seq") == 1).alias("c"),
+                    "url")
+              .where(F.col("l.n_bytes") != F.col("c.n_bytes")))
+    assert joined.count() == 0
+
+    comp = WU.url_components(crawl)
+    assert comp.count() == n_docs
+    bad = comp.where(
+        (F.col("scheme") != "https")
+        | (F.col("registered_domain") != "example.com")
+        | ~F.col("host").endswith(".example.com")
+        | ~F.col("path").startswith("/")
+        | ~F.col("query").startswith("ref=r"))
+    assert bad.count() == 0
+
+    # determinism: the sampled url set is identical at any partitioning
+    s1 = {r.url for r in
+          WU.domain_hash_sample(crawl, 2000).select("url").collect()}
+    s2 = {r.url for r in
+          WU.domain_hash_sample(crawl.repartition(13), 2000)
+          .select("url").collect()}
+    assert s1 == s2 and 0 < len(s1) < n_docs
+
+
+def test_dedup_lines_first_occurrence(spark):
+    """Line dedup keeps exactly one copy of every distinct segment,
+    and the kept copy is the globally first (doc_id, seg_idx)."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import dedup as D
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h x y"),   # segs: a..h | x y
+        Row(doc_id=2, text="a b c d e f g h z z"),   # dup first seg
+        Row(doc_id=3, text="x y"),                    # dup of doc 1 tail
+        Row(doc_id=4, text=""),                       # empty: no segs
+    ]
+    out = {r.doc_id: r for r in
+           D.dedup_lines(spark.createDataFrame(rows), seg_len=8)
+           .collect()}
+    assert out[1].kept_text == "a b c d e f g h x y"
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].kept_text == "z z"
+    assert out[2].n_kept == 1
+    assert out[3].kept_text == "" and out[3].n_kept == 0
+    assert 4 not in out  # no segments at all -> no row
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A doc sharing 3-grams with the benchmark slice is scored; the
+    benchmark docs themselves are excluded from the output."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import dedup as D
+
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps"),   # benchmark
+        Row(doc_id=1, text="the quick brown fox sleeps"),  # 2/3 hit
+        Row(doc_id=2, text="completely different words here"),
+    ]
+    out = {r.doc_id: r for r in
+           D.decontaminate(spark.createDataFrame(rows), bench_mod=97)
+           .collect()}
+    assert 0 not in out
+    assert out[1].n_shingles == 3 and out[1].n_contaminated == 2
+    assert out[1].contam_bp == 6666
+    assert out[2].n_contaminated == 0 and out[2].contam_bp == 0

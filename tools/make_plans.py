@@ -83,6 +83,25 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "expressions), then ONE Arrow-batched MapInPandas stage; no "
      "shuffle anywhere; scan pruned to (doc_id, source)",
      ["MapInPandas"], ["Exchange"]),
+    ("dedup_lines",
+     "CCNet-style line dedup: winner election is a hash AGGREGATE on "
+     "the segment (map-side partial min absorbs boilerplate hot "
+     "keys), never a row_number window sort; reassembly is one agg "
+     "on doc_id",
+     ["HashAggregate"], ["Window"]),
+    ("decontaminate",
+     "benchmark shingle set broadcast (eval suites are small vs the "
+     "crawl): hits marked by BroadcastHashJoin — the corpus side is "
+     "one explode + hash-agg pass with NO shuffle on the shingle key",
+     ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("crawl_dedup_latest",
+     "refetch collapse: ONE hash-aggregate on url with map-side "
+     "partial max/max_by — no window sort over the fetch log",
+     ["HashAggregate"], ["Window"]),
+    ("crawl_domain_sample",
+     "deterministic md5-bucket sample is a pure filter: no exchange, "
+     "no Python stage",
+     [], ["Exchange", "MapInArrow", "MapInPandas"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
