@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("latest_ts")))
     # deterministic md5-bucket sample: the reproducible alternative to
     # df.sample (same urls in/out under any partitioning or resume)
+    # per-domain quota cap (salted two-phase top-k per host)
+    q["crawl_domain_quota"] = lambda spark, sf: (
+        WU.domain_quota(load_crawl(spark, sf), k=10))
     q["crawl_domain_sample"] = lambda spark, sf: (
         WU.domain_hash_sample(load_crawl(spark, sf), rate_bp=2000)
         .select("doc_id", "url",
@@ -848,6 +851,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
         FROM crawl GROUP BY source"""
+
+    # quota replay: ONE window suffices as the oracle (the Spark side's
+    # salted two-phase selection is exact, so results must be identical)
+    o["crawl_domain_quota"] = f"""
+        WITH {_CRAWL_CTE},
+        u AS (SELECT DISTINCT url, (source || '.example.com') AS host
+              FROM crawl),
+        r AS (SELECT host, url,
+                     row_number() OVER (
+                         PARTITION BY host
+                         ORDER BY {_hex6_mod_sql('url', 1 << 30)}, url)
+                         AS rank
+              FROM u)
+        SELECT host, url, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10"""
 
     o["crawl_domain_sample"] = f"""
         WITH {_CRAWL_CTE}

@@ -89,3 +89,51 @@ def domain_hash_sample(crawl: DataFrame, rate_bp: int = 2000) -> DataFrame:
     ~rate_bp/10000 sample, stable under repartitioning and resume.
     Returns the surviving fetch-log rows."""
     return crawl.where(url_hash_bucket(F.col("url")) < F.lit(rate_bp))
+
+
+def domain_quota(crawl: DataFrame, k: int = 10,
+                 salt_buckets: int = 16) -> DataFrame:
+    """Per-domain quota cap (the RefinedWeb/FineWeb "at most k pages
+    per site" step): keep the k urls per host with the smallest
+    (md5-bucket, url) key — a deterministic choice, like
+    ``domain_hash_sample``, so reruns and resumes keep the same pages.
+    Operates on distinct urls (refetches collapse first); returns
+    (host, url, rank).
+
+    Scale shape: top-k-per-key via SALTED two-phase selection, not one
+    window over raw hosts — a viral host with 10^8 pages would
+    otherwise sort its entire group in one task.  Phase 1 takes top-k
+    within (host, salt) — bounding any single sort group to
+    |host|/salt_buckets rows and spreading a hot host across
+    ``salt_buckets`` tasks; phase 2 re-ranks the ≤ k·salt_buckets
+    survivors per host.  Exact: every global top-k row is top-k within
+    its own salt group.  The salt is derived from the url (xxhash64),
+    so the result is still deterministic."""
+    from pyspark.sql import Window
+
+    ranked = (
+        crawl.select("url").distinct()
+        .select(
+            "url",
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            url_hash_bucket(F.col("url"), 1 << 30).alias("_rk"),
+            F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).alias("_salt"),
+        )
+    )
+    phase1 = (
+        ranked.withColumn(
+            "_r1",
+            F.row_number().over(
+                Window.partitionBy("host", "_salt")
+                .orderBy("_rk", "url")))
+        .where(F.col("_r1") <= k)
+    )
+    return (
+        phase1.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("_rk", "url"))
+            .cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("host", "url", "rank")
+    )

@@ -623,3 +623,30 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[1].n_shingles == 3 and out[1].n_contaminated == 2
     assert out[1].contam_bp == 6666
     assert out[2].n_contaminated == 0 and out[2].contam_bp == 0
+
+
+def test_domain_quota_two_phase_is_exact(spark):
+    """The salted two-phase per-host top-k equals the single-window
+    reference selection, and every host is capped at k."""
+    from pyspark.sql import Window
+
+    from simple_html_parser_spark.operators import weburl as WU
+    from simple_html_parser_spark.sources.documents import load_crawl
+
+    crawl = load_crawl(spark, SF)
+    out = WU.domain_quota(crawl, k=10)
+    per_host = out.groupBy("host").count().collect()
+    assert per_host and all(r["count"] == 10 for r in per_host)
+
+    ref = (
+        crawl.select("url").distinct()
+        .select("url",
+                F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+                WU.url_hash_bucket(F.col("url"), 1 << 30).alias("_rk"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("host").orderBy("_rk", "url"))
+            .cast("bigint"))
+        .where(F.col("rank") <= 10).select("host", "url", "rank")
+    )
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in ref.collect()}

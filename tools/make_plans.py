@@ -98,6 +98,12 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "refetch collapse: ONE hash-aggregate on url with map-side "
      "partial max/max_by — no window sort over the fetch log",
      ["HashAggregate"], ["Window"]),
+    ("crawl_domain_quota",
+     "per-domain cap: SALTED two-phase top-k — phase-1 window on "
+     "(host, salt) bounds any single sort group to |host|/16, phase-2 "
+     "re-ranks <= k*16 survivors per host (a viral host never sorts "
+     "in one task)",
+     ["Window"], []),
     ("crawl_domain_sample",
      "deterministic md5-bucket sample is a pure filter: no exchange, "
      "no Python stage",
