@@ -46,6 +46,7 @@ from simple_html_parser_spark.operators import pdftext as PDF
 from simple_html_parser_spark.operators import relational as R
 from simple_html_parser_spark.operators import similarity as S
 from simple_html_parser_spark.operators import textstats as T
+from simple_html_parser_spark.operators import pii as PII
 from simple_html_parser_spark.operators import weburl as WU
 from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
@@ -55,7 +56,7 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_SERIALIZED,
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
-    CRAWL_REFETCH_MOD, load_crawl,
+    CONTACT_MOD, CRAWL_REFETCH_MOD, load_crawl, with_contacts,
     load_documents, load_documents_variant, load_table,
     render_pdf, render_png, render_wav,
 )
@@ -146,6 +147,26 @@ _CRAWL_CTE = f"""
                    CAST(fetch_seq AS BIGINT) AS fetch_seq
             FROM documents, (SELECT unnest([0, 1]) AS fetch_seq) f
             WHERE fetch_seq = 0 OR doc_id % {CRAWL_REFETCH_MOD} = 0)"""
+
+
+# contact-augmented text (mirror of sources/documents.py::with_contacts
+# — deterministic PII suffix on every CONTACT_MOD-th doc)
+_AUG_CTE = f"""
+        aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {CONTACT_MOD} = 0 THEN
+                       text || ' contact user'
+                       || CAST(doc_id AS VARCHAR)
+                       || '@mail' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.example.com from 10.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                       || CAST(doc_id % 250 AS VARCHAR)
+                       || ' or call 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE text END AS text
+            FROM documents)"""
 
 
 def _hex6_mod_sql(expr: str, buckets: int = 10000) -> str:
@@ -320,6 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slice doc_id % 97 == 0 (stands in for the eval-suite corpus)
     q["decontaminate"] = lambda spark, sf: (
         D.decontaminate(_raw_docs(spark, sf)))
+
+    # PII anonymization + OOV quality signal, both over the
+    # contact-augmented corpus (deterministic PII suffix on every
+    # CONTACT_MOD-th doc so the checks are non-vacuous)
+    q["pii_scrub"] = lambda spark, sf: (
+        PII.pii_scrub(with_contacts(_raw_docs(spark, sf))))
+    q["oov_stats"] = lambda spark, sf: (
+        T.oov_stats(with_contacts(_raw_docs(spark, sf))))
 
     # ---- url layer (crawl fetch log) ----
     q["crawl_url_parse"] = lambda spark, sf: (
@@ -823,6 +852,45 @@ def oracle_sql() -> dict[str, str]:
                (count(*) FILTER (WHERE sh IN (SELECT sh FROM bs)))
                    * 10000 // count(*) AS contam_bp
         FROM ts GROUP BY doc_id"""
+
+    # PII anonymization: identical RE2-safe patterns replayed by
+    # DuckDB (regexp_replace needs the 'g' flag there — DuckDB
+    # replaces only the first match by default, Spark replaces all)
+    o["pii_scrub"] = f"""
+        WITH {_AUG_CTE}
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII.PII_IPV4}', '<IP>', 'g'),
+                   '{PII.PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text,
+               CAST(len(regexp_extract_all(text, '{PII.PII_EMAIL}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII.PII_IPV4}'))
+                    AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text, '{PII.PII_PHONE}'))
+                    AS BIGINT) AS n_phones
+        FROM aug"""
+
+    # OOV vs the corpus common-vocabulary head (df-cut mirrored from
+    # textstats.common_vocab: df > max(50, 1%·N) over distinct
+    # (doc, token) pairs)
+    o["oov_stats"] = f"""
+        WITH {_AUG_CTE},
+        t2 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM aug),
+        exall AS (SELECT doc_id, unnest(t) AS tok FROM t2),
+        head AS (SELECT tok
+                 FROM (SELECT DISTINCT doc_id, tok FROM exall)
+                 GROUP BY tok
+                 HAVING count(*) > greatest(CAST(50 AS BIGINT),
+                     CAST(floor(0.01 * (SELECT count(*)
+                                        FROM documents)) AS BIGINT)))
+        SELECT doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM head))
+                   AS n_oov,
+               (count(*) FILTER
+                    (WHERE tok NOT IN (SELECT tok FROM head)))
+                   * 10000 // count(*) AS oov_bp
+        FROM exall GROUP BY doc_id"""
 
     # url layer over the synthesized crawl fetch log
     o["crawl_url_parse"] = f"""

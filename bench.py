@@ -153,7 +153,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_score",
         "doc_fingerprint", "lang_id", "clean_text", "repetition_stats",
         "dedup_lines", "decontaminate", "crawl_dedup_latest",
-        "crawl_domain_sample",
+        "crawl_domain_sample", "crawl_domain_quota", "pii_scrub",
+        "oov_stats",
         "curation_pipeline", "binary_meta", "image_features",
         "audio_features", "pdf_text_extract", "css_serialize_api",
         "kernel_iterator_api",

@@ -187,3 +187,50 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             .alias("top2gram_bp"),
         )
     )
+
+
+def common_vocab(docs: DataFrame, df_floor: int = 50,
+                 df_fraction: float = 0.01) -> DataFrame:
+    """The high-document-frequency vocabulary head: tokens present in
+    more than max(df_floor, df_fraction·N) documents.  SMALL by
+    construction (the Zipf head), so callers broadcast it — the same
+    relative-cut shape as dedup's boilerplate-shingle cut."""
+    ex = (docs.select("doc_id", tokens_col().alias("_t"))
+          .select("doc_id",
+                  F.explode(F.array_distinct(F.col("_t"))).alias("tok")))
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    return (ex.groupBy("tok").count()
+            .crossJoin(F.broadcast(total))
+            .where(F.col("count") > F.greatest(
+                F.lit(df_floor).cast("bigint"),
+                F.floor(F.col("_n_docs") * df_fraction).cast("bigint")))
+            .select("tok"))
+
+
+def oov_stats(docs: DataFrame, df_floor: int = 50,
+              df_fraction: float = 0.01) -> DataFrame:
+    """Out-of-vocabulary quality signal: the fraction of a document's
+    token occurrences NOT in the corpus's common-vocabulary head —
+    the distributable form of the "fraction of words in a common-word
+    list" filter (Gopher-style); gibberish, boilerplate IDs, and
+    machine-generated junk score high.  Returns
+    (doc_id, n_tokens, n_oov, oov_bp), integer basis points.
+
+    Scale shape: the head vocabulary is broadcast (it is tiny —
+    df-frequent tokens number in the 10^5s even at 10^12 docs), so the
+    corpus side is ONE explode + hash-agg pass with no shuffle on the
+    token key; the df computation itself is a partial-aggregating
+    count keyed on token (Zipf skew absorbed map-side)."""
+    head = common_vocab(docs, df_floor, df_fraction) \
+        .withColumn("_hit", F.lit(1).cast("bigint"))
+    ex = (docs.select("doc_id", tokens_col().alias("_t"))
+          .select("doc_id", F.explode(F.col("_t")).alias("tok")))
+    return (
+        ex.join(F.broadcast(head), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_oov"))
+        .select("doc_id", "n_tokens", "n_oov",
+                F.expr("n_oov * 10000 div n_tokens").alias("oov_bp"))
+    )

@@ -309,6 +309,29 @@ def load_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_crawl(load_table(spark, sf_dir, "documents"))
 
 
+# every CONTACT_MOD-th doc gets a deterministic PII-bearing contact
+# suffix (email + IPv4 + phone, all closed-form in doc_id) so the
+# pii_scrub / oov operators are non-vacuous and DuckDB-oracle-able
+CONTACT_MOD = 5
+
+
+def with_contacts(docs: DataFrame) -> DataFrame:
+    """documents with the contact suffix appended to every
+    CONTACT_MOD-th text (other rows unchanged)."""
+    d = F.col("doc_id")
+    suffix = F.format_string(
+        " contact user%s@mail%s.example.com from 10.%s.0.%s"
+        " or call 555-%s-%s",
+        d.cast("string"), (d % 10).cast("string"),
+        (d % 200).cast("string"), (d % 250).cast("string"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lpad((d % 10000).cast("string"), 4, "0"))
+    return docs.withColumn(
+        "text",
+        F.when(d % CONTACT_MOD == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text")))
+
+
 # --- multimodal binary payloads (closed-form headers) ---------------------
 # Deterministic PNG / WAV byte columns rendered ENTIRELY JVM-side, so
 # the real header decoders (operators/multimodal.py) can be checked by

@@ -650,3 +650,42 @@ def test_domain_quota_two_phase_is_exact(spark):
     )
     assert {tuple(r) for r in out.collect()} \
         == {tuple(r) for r in ref.collect()}
+
+
+def test_pii_scrub_and_oov(spark):
+    """PII scrub finds exactly the synthesized contact PII (1 email +
+    1 IP + 1 phone on every CONTACT_MOD-th doc, none elsewhere) and
+    the scrubbed text retains no matches; OOV flags the doc-unique
+    contact tokens."""
+    from simple_html_parser_spark.operators import textstats as T
+    from simple_html_parser_spark.operators.pii import pii_scrub
+    from simple_html_parser_spark.sources.documents import (
+        CONTACT_MOD, load_table, with_contacts,
+    )
+
+    raw = load_table(spark, SF, "documents")
+    aug = with_contacts(raw)
+    out = pii_scrub(aug)
+    n_docs = raw.count()
+    n_aug = (n_docs + CONTACT_MOD - 1) // CONTACT_MOD
+    hit = out.where((F.col("n_emails") == 1) & (F.col("n_ips") == 1)
+                    & (F.col("n_phones") == 1))
+    assert hit.count() == n_aug
+    clean = out.where((F.col("n_emails") == 0) & (F.col("n_ips") == 0)
+                      & (F.col("n_phones") == 0))
+    assert clean.count() == n_docs - n_aug
+    # idempotence: scrubbing the scrubbed text finds nothing
+    rescrub = pii_scrub(out.select(
+        "doc_id", F.col("scrubbed_text").alias("text")))
+    assert rescrub.where((F.col("n_emails") > 0) | (F.col("n_ips") > 0)
+                         | (F.col("n_phones") > 0)).count() == 0
+
+    # every augmented doc carries >= 3 doc-unique contact tokens
+    # (email, IP, phone); unaugmented docs may legitimately have OOV
+    # tokens of their own (natural df <= 50 words), so only the
+    # augmented side is asserted exactly
+    oov = T.oov_stats(aug)
+    aug_rows = oov.where(F.col("doc_id") % CONTACT_MOD == 0)
+    assert aug_rows.count() == n_aug
+    assert aug_rows.where(F.col("n_oov") >= 3).count() == n_aug
+    assert aug_rows.where(F.col("oov_bp") > 0).count() == n_aug

@@ -98,6 +98,17 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "refetch collapse: ONE hash-aggregate on url with map-side "
      "partial max/max_by — no window sort over the fetch log",
      ["HashAggregate"], ["Window"]),
+    ("pii_scrub",
+     "PII anonymization is a pure per-row regexp pass: whole-stage "
+     "codegen, no exchange, no Python stage — fuses into whatever "
+     "scan feeds it",
+     ["codegen id"], ["Exchange", "MapInArrow", "MapInPandas"]),
+    ("oov_stats",
+     "OOV quality signal: common-vocab head joined via "
+     "BroadcastHashJoin (the Zipf head is small) — corpus side is one "
+     "explode + partial-aggregating hash-agg, no shuffle on the "
+     "token key",
+     ["BroadcastHashJoin"], ["SortMergeJoin"]),
     ("crawl_domain_quota",
      "per-domain cap: SALTED two-phase top-k — phase-1 window on "
      "(host, salt) bounds any single sort group to |host|/16, phase-2 "
