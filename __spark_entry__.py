@@ -153,7 +153,7 @@ _CRAWL_CTE = f"""
 # — deterministic PII suffix on every CONTACT_MOD-th doc)
 _AUG_CTE = f"""
         aug AS (
-            SELECT doc_id,
+            SELECT doc_id, lang,
                    CASE WHEN doc_id % {CONTACT_MOD} = 0 THEN
                        text || ' contact user'
                        || CAST(doc_id AS VARCHAR)
@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PII anonymization + OOV quality signal, both over the
     # contact-augmented corpus (deterministic PII suffix on every
     # CONTACT_MOD-th doc so the checks are non-vacuous)
+    # the full web flow (scrub → lang/quality/oov → dedup) in ONE plan
+    q["curate_web"] = lambda spark, sf: (
+        CU.curate_web(with_contacts(_raw_docs(spark, sf))))
     q["pii_scrub"] = lambda spark, sf: (
         PII.pii_scrub(with_contacts(_raw_docs(spark, sf))))
     q["oov_stats"] = lambda spark, sf: (
@@ -1232,6 +1235,91 @@ def oracle_sql() -> dict[str, str]:
         JOIN lp USING (doc_id)
         JOIN qb USING (doc_id)
         WHERE lp.pred_lang = d.lang AND qb.quality_bp >= 5500
+          AND d.doc_id IN (SELECT doc_id FROM keepers)
+          AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+    # full web-curation flow: scrub → lang/quality/oov → exact +
+    # near-dup dedup, all CTEs over the SCRUBBED text s
+    o["curate_web"] = f"""
+        WITH RECURSIVE {_AUG_CTE},
+        s AS (SELECT doc_id, lang,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                         '{PII.PII_EMAIL}', '<EMAIL>', 'g'),
+                         '{PII.PII_IPV4}', '<IP>', 'g'),
+                         '{PII.PII_PHONE}', '<PHONE>', 'g') AS text
+              FROM aug),
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s),
+        shl AS (SELECT doc_id, {_SHINGLES_SQL} AS sl FROM toks),
+        ex AS (SELECT doc_id, unnest(sl) AS sh FROM shl),
+        hot AS (SELECT sh FROM ex GROUP BY sh
+                HAVING count(*) > greatest(
+                    CAST({D.AUTO_DF_FLOOR} AS BIGINT),
+                    CAST(floor({D.AUTO_DF_FRACTION}
+                         * (SELECT count(*) FROM documents)) AS BIGINT))),
+        exf AS (SELECT e.doc_id, e.sh FROM ex e
+                ANTI JOIN hot h USING (sh)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30),
+        edges AS (SELECT doc_a, doc_b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, other) AS (
+            SELECT doc_a, doc_b FROM edges
+            UNION
+            SELECT r.doc_id, e.doc_b FROM reach r
+            JOIN edges e ON e.doc_a = r.other),
+        losers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, least(doc_id, min(other)) AS cid
+                FROM reach GROUP BY doc_id)
+            WHERE doc_id <> cid),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY text),
+        qb AS (
+            SELECT doc_id,
+                   (least(CAST(length(text) AS BIGINT) * 20, 10000)
+                    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                 'g')) AS BIGINT)
+                      * 10000 // greatest(length(text), 1)) // 2
+                   - CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                                                'g')) AS BIGINT)
+                     * 10000 // greatest(length(text), 1) AS quality_bp
+            FROM s),
+        lranked AS (
+            SELECT doc_id, st.lang AS pred_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY len(list_intersect(t, st.words))
+                                DESC, st.lang DESC) AS rk
+            FROM toks, (VALUES {stop_sql}) AS st(lang, words)),
+        lp AS (SELECT doc_id, pred_lang FROM lranked WHERE rk = 1),
+        exall AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        head AS (SELECT tok
+                 FROM (SELECT DISTINCT doc_id, tok FROM exall)
+                 GROUP BY tok
+                 HAVING count(*) > greatest(CAST(50 AS BIGINT),
+                     CAST(floor(0.01 * (SELECT count(*)
+                                        FROM documents)) AS BIGINT))),
+        ost AS (SELECT doc_id,
+                       (count(*) FILTER
+                            (WHERE tok NOT IN (SELECT tok FROM head)))
+                           * 10000 // count(*) AS oov_bp
+                FROM exall GROUP BY doc_id)
+        SELECT d.doc_id, lp.pred_lang,
+               CAST(qb.quality_bp AS BIGINT) AS quality_bp,
+               ost.oov_bp
+        FROM s d
+        JOIN lp USING (doc_id)
+        JOIN qb USING (doc_id)
+        JOIN ost USING (doc_id)
+        WHERE lp.pred_lang = d.lang AND qb.quality_bp >= 5500
+          AND ost.oov_bp <= 600
           AND d.doc_id IN (SELECT doc_id FROM keepers)
           AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
 

@@ -61,3 +61,58 @@ def curate(
         .join(near_losers, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "quality_bp")
     )
+
+
+def curate_web(
+    docs: DataFrame,
+    quality_min_bp: int = 5500,
+    oov_max_bp: int = 600,
+    near_dup_threshold: float = 0.30,
+) -> DataFrame:
+    """The full web-crawl curation flow as ONE declarative plan:
+
+        documents
+          → PII scrub          (emails/IPs/phones → placeholders)
+          → language agreement (prediction == declared lang)
+          → quality floor      (quality_bp ≥ cutoff)
+          → OOV ceiling        (oov_bp ≤ cutoff vs the corpus head)
+          → exact dedup        (keep min doc_id per scrubbed text)
+          → near-dup dedup     (keep each LSH cluster's min doc_id)
+
+    All downstream stages run on the SCRUBBED text (dedup must not be
+    defeated by unique emails in otherwise-identical boilerplate —
+    the reason real pipelines scrub before dedup).  Returns
+    (doc_id, pred_lang, quality_bp, oov_bp).  Same broadcast/AQE
+    discipline as ``curate``; the added stages are a codegen regexp
+    pass (scrub) and one broadcast-head join (OOV)."""
+    from .pii import scrub_col
+    from .textstats import oov_stats
+
+    # scrub is a pure projection — NOT a join against pii_scrub()
+    # output (that would shuffle the corpus against itself once per
+    # downstream branch); every stage below re-derives the scrubbed
+    # text inside its own scan+project, all codegen
+    docs2 = docs.select("doc_id", "lang",
+                        scrub_col(F.col("text")).alias("text"))
+    quality = quality_score(docs2).select("doc_id", "quality_bp")
+    lang = lang_id(docs2).select("doc_id", "pred_lang")
+    oov = oov_stats(docs2).select("doc_id", "oov_bp")
+    base = (
+        docs2.select("doc_id", "lang")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .join(oov, "doc_id")
+        .where((F.col("pred_lang") == F.col("lang"))
+               & (F.col("quality_bp") >= quality_min_bp)
+               & (F.col("oov_bp") <= oov_max_bp))
+    )
+    exact_keep = dedup_exact(docs2).select("doc_id")
+    clusters = dedup_clusters(docs2, threshold=near_dup_threshold,
+                              max_shingle_df="auto")
+    near_losers = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        base.join(exact_keep, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality_bp", "oov_bp")
+    )

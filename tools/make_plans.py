@@ -98,6 +98,14 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "refetch collapse: ONE hash-aggregate on url with map-side "
      "partial max/max_by — no window sort over the fetch log",
      ["HashAggregate"], ["Window"]),
+    ("curate_web",
+     "full web flow (scrub -> lang/quality/oov -> exact + near-dup "
+     "dedup) in one declarative plan: the PII scrub is a PROJECTION "
+     "re-derived inside each branch's scan (never a corpus self-join "
+     "against pii_scrub output), the OOV head and df-cut are "
+     "broadcast, keepers via LeftSemi, losers via anti-join under "
+     "AQE",
+     ["LeftSemi", "BroadcastHashJoin"], []),
     ("pii_scrub",
      "PII anonymization is a pure per-row regexp pass: whole-stage "
      "codegen, no exchange, no Python stage — fuses into whatever "
