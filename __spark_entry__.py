@@ -47,6 +47,7 @@ from simple_html_parser_spark.operators import relational as R
 from simple_html_parser_spark.operators import similarity as S
 from simple_html_parser_spark.operators import textstats as T
 from simple_html_parser_spark.operators import pii as PII
+from simple_html_parser_spark.operators import warc as WA
 from simple_html_parser_spark.operators import weburl as WU
 from simple_html_parser_spark.operators.extraction import (
     extract_documents, parse_nodes, roundtrip_html,
@@ -56,7 +57,7 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_SERIALIZED,
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
-    CONTACT_MOD, CRAWL_REFETCH_MOD, load_crawl, with_contacts,
+    CONTACT_MOD, CRAWL_REFETCH_MOD, load_crawl, load_warc, with_contacts,
     load_documents, load_documents_variant, load_table,
     render_pdf, render_png, render_wav,
 )
@@ -352,6 +353,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PII.pii_scrub(with_contacts(_raw_docs(spark, sf))))
     q["oov_stats"] = lambda spark, sf: (
         T.oov_stats(with_contacts(_raw_docs(spark, sf))))
+
+    # WARC container path: files → records → extraction (the Common
+    # Crawl first mile; files and every record field are closed-form)
+    q["warc_records"] = lambda spark, sf: (
+        WA.parse_warc(load_warc(spark, sf))
+        .select("warc_id", "rec_idx", "target_uri", "warc_date",
+                "content_length"))
+    q["warc_extract"] = lambda spark, sf: (
+        WA.warc_extract(load_warc(spark, sf))
+        .select("url", "extracted_text"))
 
     # ---- url layer (crawl fetch log) ----
     q["crawl_url_parse"] = lambda spark, sf: (
@@ -894,6 +905,25 @@ def oracle_sql() -> dict[str, str]:
                     (WHERE tok NOT IN (SELECT tok FROM head)))
                    * 10000 // count(*) AS oov_bp
         FROM exall GROUP BY doc_id"""
+
+    # WARC record metadata: every field closed-form in (source, doc_id)
+    # — record order inside a file is doc_id order, so rec_idx is a
+    # per-source row_number
+    o["warc_records"] = f"""
+        SELECT source AS warc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) - 1 AS INT)
+                   AS rec_idx,
+               {_URL_SQL} AS target_uri,
+               strftime(TIMESTAMP '2025-01-01 00:00:00'
+                        + doc_id * INTERVAL 1 SECOND,
+                        '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+               CAST(octet_length(encode({render})) AS BIGINT)
+                   AS content_length
+        FROM documents"""
+
+    # WARC→extract end-to-end equals the direct extraction pipeline
+    o["warc_extract"] = o["extract_parity"]
 
     # url layer over the synthesized crawl fetch log
     o["crawl_url_parse"] = f"""

@@ -152,6 +152,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_srp_lsh", "ann_kmeans_topk", "token_stats",
         "quality_score",
         "doc_fingerprint", "lang_id", "clean_text", "repetition_stats",
+        "warc_extract",
         "dedup_lines", "decontaminate", "crawl_dedup_latest",
         "crawl_domain_sample", "crawl_domain_quota", "pii_scrub",
         "oov_stats",

@@ -309,6 +309,63 @@ def load_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_crawl(load_table(spark, sf_dir, "documents"))
 
 
+# --- WARC container files (Common Crawl's input format) -------------------
+# Each source's pages packed into one WARC file, records in doc_id
+# order, every header field closed-form in (source, doc_id) — so the
+# WARC record parser (operators/warc.py) is fully DuckDB-oracle-able.
+# Rendered with pure JVM expressions (binary concat + an ordered
+# collect_list aggregate); bodies are the same HTML_TEMPLATE pages the
+# extraction oracle already pins.
+
+WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def render_warc(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang, source, …) → WARC files
+    (warc_id, payload binary, n_records): one file per source, records
+    sorted by doc_id, each
+    ``WARC/1.0 CRLF headers CRLF CRLF body CRLF CRLF``."""
+    p = docs.select(
+        "doc_id", "source",
+        F.format_string("doc://%s/%s", "source", "doc_id").alias("url"),
+        (F.lit(CRAWL_EPOCH).cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(
+            F.format_string(HTML_TEMPLATE, "doc_id", "text", "lang",
+                            "source"), "utf-8").alias("html"),
+    )
+    rec = F.concat(
+        F.encode(F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Target-URI: "), F.col("url"),
+            F.lit("\r\nWARC-Date: "),
+            F.date_format("warc_ts", WARC_DATE_FMT),
+            F.lit("\r\nContent-Length: "),
+            F.length("html").cast("string"),
+            F.lit("\r\n\r\n")), "utf-8"),
+        F.col("html"),
+        F.encode(F.lit("\r\n\r\n"), "utf-8"))
+    return (
+        p.select("source", "doc_id", rec.alias("rec"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_records"),
+             F.aggregate(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("doc_id", "rec"))),
+                     lambda s: s.rec),
+                 F.lit(b""),
+                 lambda acc, r: F.concat(acc, r)).alias("payload"))
+        .select(F.col("source").alias("warc_id"), "payload", "n_records")
+    )
+
+
+def load_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC files for a testdata sf dir."""
+    return render_warc(load_table(spark, sf_dir, "documents"))
+
+
 # every CONTACT_MOD-th doc gets a deterministic PII-bearing contact
 # suffix (email + IPv4 + phone, all closed-form in doc_id) so the
 # pii_scrub / oov operators are non-vacuous and DuckDB-oracle-able

@@ -689,3 +689,66 @@ def test_pii_scrub_and_oov(spark):
     assert aug_rows.count() == n_aug
     assert aug_rows.where(F.col("n_oov") >= 3).count() == n_aug
     assert aug_rows.where(F.col("oov_bp") > 0).count() == n_aug
+
+
+def test_warc_parse_robustness(spark):
+    """WARC parsing walks by Content-Length (bodies containing the
+    record magic survive), and malformed files yield error marker rows
+    for the bad tail while keeping the good prefix — never a task
+    failure."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import warc as W
+
+    def rec(uri, body: bytes) -> bytes:
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + b"WARC-Target-URI: " + uri.encode()
+                + b"\r\nWARC-Date: 2025-01-01T00:00:00Z"
+                + b"\r\nContent-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body + b"\r\n\r\n")
+
+    tricky_body = b"<p>literal WARC/1.0\r\n inside a body</p>"
+    rows = [
+        Row(warc_id="good", payload=rec("doc://a/1", b"<p>x</p>")
+            + rec("doc://a/2", tricky_body)),
+        Row(warc_id="truncated", payload=rec("doc://b/1", b"<p>y</p>")
+            + rec("doc://b/2", b"<p>zzzz</p>")[:-10]),
+        Row(warc_id="garbage", payload=b"NOT A WARC FILE"),
+        Row(warc_id="empty", payload=b""),
+    ]
+    out = W.parse_warc(spark.createDataFrame(rows)).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.warc_id, []).append(r)
+    good = sorted(by["good"], key=lambda r: r.rec_idx)
+    assert [r.error for r in good] == [None, None]
+    assert good[1].html == tricky_body
+    assert good[1].content_length == len(tricky_body)
+    trunc = sorted(by["truncated"], key=lambda r: r.rec_idx)
+    assert trunc[0].error is None and trunc[0].target_uri == "doc://b/1"
+    assert trunc[1].error == "truncated body"
+    assert by["garbage"][0].error.startswith("bad magic")
+    assert "empty" not in by  # zero bytes -> zero records
+
+
+def test_warc_roundtrip_counts(spark):
+    """render→parse is lossless: one record per doc, bodies byte-equal
+    to the rendered pages."""
+    from simple_html_parser_spark.operators import warc as W
+    from simple_html_parser_spark.sources.documents import (
+        load_documents, load_warc,
+    )
+
+    files = load_warc(spark, SF)
+    recs = W.parse_warc(files)
+    n_docs = load_documents(spark, SF).count()
+    assert recs.where(F.col("error").isNotNull()).count() == 0
+    assert recs.count() == n_docs
+    # body bytes match the directly-rendered html per url
+    direct = load_documents(spark, SF).select(
+        "url", F.sha2("html", 256).alias("h1"))
+    via = recs.select(F.col("target_uri").alias("url"),
+                      F.sha2("html", 256).alias("h2"))
+    assert direct.join(via, "url").where(
+        F.col("h1") != F.col("h2")).count() == 0
+    assert direct.join(via, "url").count() == n_docs

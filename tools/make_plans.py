@@ -98,6 +98,17 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "refetch collapse: ONE hash-aggregate on url with map-side "
      "partial max/max_by — no window sort over the fetch log",
      ["HashAggregate"], ["Window"]),
+    ("warc_records",
+     "WARC container parse: ONE Arrow-batched Python stage walking "
+     "files by Content-Length; the body binary column is pruned away "
+     "when only metadata is selected",
+     ["MapInArrow"], ["MapInPandas"]),
+    ("warc_extract",
+     "WARC-in -> extracted-text-out: parse stage chains into the "
+     "extraction stage with a (url, html)-pruned handoff and NO "
+     "exchange between the two Python stages (the only Exchange in "
+     "the plan is the synthetic file render's groupBy)",
+     ["MapInArrow"], []),
     ("curate_web",
      "full web flow (scrub -> lang/quality/oov -> exact + near-dup "
      "dedup) in one declarative plan: the PII scrub is a PROJECTION "
