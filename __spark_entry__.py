@@ -380,6 +380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("latest_ts")))
     # deterministic md5-bucket sample: the reproducible alternative to
     # df.sample (same urls in/out under any partitioning or resume)
+    # robots-style blocklist: drop all of src3 plus /en/sec1* on every
+    # 4th source (fixed rule set, Disallow prefix semantics)
+    def _blocklist_q(spark, sf):
+        rules = spark.createDataFrame(
+            [("src3.example.com", "/")]
+            + [(f"src{k}.example.com", "/en/sec1") for k in
+               (0, 4, 8, 12, 16)],
+            "host string, path_prefix string")
+        return (WU.blocklist_filter(load_crawl(spark, sf), rules)
+                .select("doc_id", "url", "n_bytes", "fetch_seq"))
+    q["crawl_blocklist"] = _blocklist_q
     # per-domain quota cap (salted two-phase top-k per host)
     q["crawl_domain_quota"] = lambda spark, sf: (
         WU.domain_quota(load_crawl(spark, sf), k=10))
@@ -952,6 +963,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
         FROM crawl GROUP BY source"""
+
+    # blocklist replay: the rule set is fixed, so the oracle is a
+    # closed-form WHERE over the crawl CTE (path = /{lang}/sec{id%50}/…
+    # ⇒ the '/en/sec1' prefix rule hits lang='en' AND sec 1,1x)
+    o["crawl_blocklist"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT doc_id, url, n_bytes, fetch_seq FROM crawl
+        WHERE NOT (source = 'src3')
+          AND NOT (source IN ('src0', 'src4', 'src8', 'src12', 'src16')
+                   AND lang = 'en'
+                   AND CAST(doc_id % 50 AS VARCHAR) LIKE '1%')"""
 
     # quota replay: ONE window suffices as the oracle (the Spark side's
     # salted two-phase selection is exact, so results must be identical)

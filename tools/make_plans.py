@@ -94,6 +94,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "crawl): hits marked by BroadcastHashJoin — the corpus side is "
      "one explode + hash-agg pass with NO shuffle on the shingle key",
      ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("crawl_blocklist",
+     "blocklist anti-join: equi-keyed on host (BroadcastHashJoin "
+     "LeftAnti with the path-prefix test as the join residual) — "
+     "NEVER a nested-loop over the fetch log",
+     ["BroadcastHashJoin"], ["NestedLoop"]),
     ("crawl_dedup_latest",
      "refetch collapse: ONE hash-aggregate on url with map-side "
      "partial max/max_by — no window sort over the fetch log",
