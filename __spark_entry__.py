@@ -882,19 +882,25 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB (regexp_replace needs the 'g' flag there — DuckDB
     # replaces only the first match by default, Spark replaces all)
     o["pii_scrub"] = f"""
-        WITH {_AUG_CTE}
+        WITH {_AUG_CTE},
+        e1 AS (SELECT doc_id, text,
+                      regexp_replace(text, '{PII.PII_EMAIL}',
+                                     '<EMAIL>', 'g') AS t1
+               FROM aug),
+        e2 AS (SELECT doc_id, text, t1,
+                      regexp_replace(t1, '{PII.PII_IPV4}',
+                                     '<IP>', 'g') AS t2
+               FROM e1)
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{PII.PII_EMAIL}', '<EMAIL>', 'g'),
-                   '{PII.PII_IPV4}', '<IP>', 'g'),
-                   '{PII.PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text,
+               regexp_replace(t2, '{PII.PII_PHONE}', '<PHONE>', 'g')
+                   AS scrubbed_text,
                CAST(len(regexp_extract_all(text, '{PII.PII_EMAIL}'))
                     AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all(text, '{PII.PII_IPV4}'))
+               CAST(len(regexp_extract_all(t1, '{PII.PII_IPV4}'))
                     AS BIGINT) AS n_ips,
-               CAST(len(regexp_extract_all(text, '{PII.PII_PHONE}'))
+               CAST(len(regexp_extract_all(t2, '{PII.PII_PHONE}'))
                     AS BIGINT) AS n_phones
-        FROM aug"""
+        FROM e2"""
 
     # OOV vs the corpus common-vocabulary head (df-cut mirrored from
     # textstats.common_vocab: df > max(50, 1%·N) over distinct

@@ -20,11 +20,60 @@ to AQE rather than forced.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, dedup_exact
 from .textstats import lang_id, quality_score
+
+
+def _curate_filtered(
+    docs: DataFrame,
+    base: DataFrame,
+    out_cols: list[str],
+    near_dup_threshold: float,
+) -> DataFrame:
+    """Shared dedup tail of every curation flow: keep ``base`` rows
+    that are their exact-dup representative and not a near-dup loser.
+
+    NO forced broadcast on near_losers: on a duplication-heavy crawl
+    the loser set is corpus-proportional (7/8 of docs in SCALE.md's
+    crossover corpus), so a mandatory BroadcastExchange would collect
+    it to the driver and OOM at 10^12 docs.  Left to AQE, which
+    broadcasts only when the measured size is under the threshold.
+    The "auto" df-cut is explicit (dedup defaults are None): see
+    dedup.shingle_drop_stats for the observability counterpart."""
+    exact_keep = dedup_exact(docs).select("doc_id")
+    clusters = dedup_clusters(docs, threshold=near_dup_threshold,
+                              max_shingle_df="auto")
+    near_losers = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        base.join(exact_keep, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+        .select(*out_cols)
+    )
+
+
+def _quality_lang_base(docs: DataFrame, quality_min_bp: int,
+                       extra: Column | None = None,
+                       extra_frames: list[DataFrame] = ()) -> DataFrame:
+    """(doc_id, lang, pred_lang, quality_bp, …) rows passing language
+    agreement + the quality floor (+ any caller-supplied predicate over
+    ``extra_frames`` columns joined on doc_id)."""
+    base = (
+        docs.select("doc_id", "lang")
+        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .join(quality_score(docs).select("doc_id", "quality_bp"),
+              "doc_id")
+    )
+    for fr in extra_frames:
+        base = base.join(fr, "doc_id")
+    cond = ((F.col("pred_lang") == F.col("lang"))
+            & (F.col("quality_bp") >= quality_min_bp))
+    if extra is not None:
+        cond = cond & extra
+    return base.where(cond)
 
 
 def curate(
@@ -34,33 +83,10 @@ def curate(
 ) -> DataFrame:
     """(doc_id, pred_lang, quality_bp) for documents surviving all four
     filters."""
-    quality = quality_score(docs).select("doc_id", "quality_bp")
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    base = (
-        docs.select("doc_id", "lang")
-        .join(lang, "doc_id")
-        .join(quality, "doc_id")
-        .where((F.col("pred_lang") == F.col("lang"))
-               & (F.col("quality_bp") >= quality_min_bp))
-    )
-    exact_keep = dedup_exact(docs).select("doc_id")
-    # near-dup losers: cluster members that are not the representative.
-    # The "auto" df-cut is explicit (dedup defaults are None): see
-    # dedup.shingle_drop_stats for the observability counterpart.
-    clusters = dedup_clusters(docs, threshold=near_dup_threshold,
-                              max_shingle_df="auto")
-    near_losers = clusters.where(
-        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    # NO forced broadcast on near_losers: on a duplication-heavy crawl
-    # the loser set is corpus-proportional (7/8 of docs in SCALE.md's
-    # crossover corpus), so a mandatory BroadcastExchange would collect
-    # it to the driver and OOM at 10^12 docs.  Left to AQE, which
-    # broadcasts only when the measured size is under the threshold.
-    return (
-        base.join(exact_keep, "doc_id", "left_semi")
-        .join(near_losers, "doc_id", "left_anti")
-        .select("doc_id", "pred_lang", "quality_bp")
-    )
+    base = _quality_lang_base(docs, quality_min_bp)
+    return _curate_filtered(
+        docs, base, ["doc_id", "pred_lang", "quality_bp"],
+        near_dup_threshold)
 
 
 def curate_web(
@@ -94,25 +120,10 @@ def curate_web(
     # text inside its own scan+project, all codegen
     docs2 = docs.select("doc_id", "lang",
                         scrub_col(F.col("text")).alias("text"))
-    quality = quality_score(docs2).select("doc_id", "quality_bp")
-    lang = lang_id(docs2).select("doc_id", "pred_lang")
-    oov = oov_stats(docs2).select("doc_id", "oov_bp")
-    base = (
-        docs2.select("doc_id", "lang")
-        .join(lang, "doc_id")
-        .join(quality, "doc_id")
-        .join(oov, "doc_id")
-        .where((F.col("pred_lang") == F.col("lang"))
-               & (F.col("quality_bp") >= quality_min_bp)
-               & (F.col("oov_bp") <= oov_max_bp))
-    )
-    exact_keep = dedup_exact(docs2).select("doc_id")
-    clusters = dedup_clusters(docs2, threshold=near_dup_threshold,
-                              max_shingle_df="auto")
-    near_losers = clusters.where(
-        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return (
-        base.join(exact_keep, "doc_id", "left_semi")
-        .join(near_losers, "doc_id", "left_anti")
-        .select("doc_id", "pred_lang", "quality_bp", "oov_bp")
-    )
+    base = _quality_lang_base(
+        docs2, quality_min_bp,
+        extra=F.col("oov_bp") <= oov_max_bp,
+        extra_frames=[oov_stats(docs2).select("doc_id", "oov_bp")])
+    return _curate_filtered(
+        docs2, base, ["doc_id", "pred_lang", "quality_bp", "oov_bp"],
+        near_dup_threshold)

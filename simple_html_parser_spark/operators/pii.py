@@ -34,14 +34,24 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, scrubbed_text, n_emails, n_ips, n_phones): the
     anonymized text plus per-kind match counts (the audit trail a
     compliance pass needs — aggregate them for corpus-level PII
-    rates)."""
+    rates).
+
+    Each count runs against the text AS IT EXISTS when that pattern's
+    replace runs (raw → after-email → after-ip): replacements change
+    word boundaries, so counting everything on the raw text could
+    disagree with what was actually scrubbed (e.g. a phone glued to an
+    email only becomes \\b-matchable once the email is replaced)."""
     t = F.col("text")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
     return docs.select(
         "doc_id",
-        scrub_col(t).alias("scrubbed_text"),
+        F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+        .alias("scrubbed_text"),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint")
         .alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint")
+        F.regexp_count(after_email, F.lit(PII_IPV4)).cast("bigint")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("bigint")
         .alias("n_phones"),
     )

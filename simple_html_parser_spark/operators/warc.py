@@ -62,23 +62,31 @@ def _parse_one(warc_id: str, payload: bytes, cols: dict) -> None:
         if hdr_end < 0:
             emit(idx, err="unterminated header block")
             return
+        # ISO 28500: field names are case-insensitive, whitespace after
+        # the colon is optional — lowercase keys, lstrip values
         headers = {}
         for line in payload[pos + len(_MAGIC):hdr_end].split(b"\r\n"):
-            k, sep, v = line.partition(b": ")
+            k, sep, v = line.partition(b":")
             if sep:
-                headers[k.decode("ascii", "replace")] = \
-                    v.decode("utf-8", "replace")
+                headers[k.strip().lower().decode("ascii", "replace")] = \
+                    v.lstrip().decode("utf-8", "replace")
         try:
-            clen = int(headers["Content-Length"])
+            clen = int(headers["content-length"])
         except (KeyError, ValueError):
             emit(idx, err="missing/invalid Content-Length")
+            return
+        if clen < 0:
+            # a negative length would move pos BACKWARD and loop the
+            # parser forever on the same record — adversarial input,
+            # not a tolerable quirk
+            emit(idx, err="negative Content-Length")
             return
         body_start = hdr_end + len(_HDR_END)
         if body_start + clen > n:
             emit(idx, err="truncated body")
             return
-        emit(idx, headers.get("WARC-Target-URI"),
-             headers.get("WARC-Date"), clen,
+        emit(idx, headers.get("warc-target-uri"),
+             headers.get("warc-date"), clen,
              payload[body_start:body_start + clen])
         idx += 1
         pos = body_start + clen

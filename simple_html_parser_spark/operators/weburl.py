@@ -49,13 +49,20 @@ def url_components(crawl: DataFrame) -> DataFrame:
 
 def url_dedup_latest(crawl: DataFrame) -> DataFrame:
     """Collapse refetches: one row per url carrying the LATEST capture
-    (url, warc_ts, n_bytes, n_fetches).  Ties cannot occur (refetch
-    timestamps are strictly later); at prod scale ties break by
-    fetch_seq folded into the ordering key."""
+    (url, warc_ts, n_bytes, n_fetches).  The max_by ordering key folds
+    fetch_seq in after the microsecond timestamp, so two captures
+    sharing a timestamp still resolve deterministically (this module's
+    determinism contract must not depend on the corpus being
+    tie-free).  The key is a SCALAR bigint, not
+    struct(warc_ts, fetch_seq): a struct ordering key cannot live in a
+    hash-aggregation buffer and silently demotes the whole plan to
+    SortAggregate — the plan audit pins HashAggregate."""
+    ord_key = (F.unix_micros("warc_ts") * 1000
+               + F.pmod("fetch_seq", F.lit(1000)))
     return (
         crawl.groupBy("url")
         .agg(F.max("warc_ts").alias("warc_ts"),
-             F.max_by("n_bytes", "warc_ts").alias("n_bytes"),
+             F.max_by("n_bytes", ord_key).alias("n_bytes"),
              F.count("*").alias("n_fetches"))
     )
 
@@ -150,9 +157,14 @@ def blocklist_filter(crawl: DataFrame, rules: DataFrame) -> DataFrame:
     host with the prefix test as the join residual; the log side
     stays a single codegen pass, no shuffle."""
     u = F.col("url")
+    # parse_url PATH is '' for a bare-root url (https://host) — treat
+    # it as '/', else a 'Disallow: /' whole-host rule leaks the root
+    # page (ubiquitous in real fetch logs)
+    raw_path = F.parse_url(u, F.lit("PATH"))
     c = (crawl
          .withColumn("_host", F.parse_url(u, F.lit("HOST")))
-         .withColumn("_path", F.parse_url(u, F.lit("PATH"))))
+         .withColumn("_path", F.when(raw_path == "", "/")
+                     .otherwise(raw_path)))
     r = rules.select(F.col("host").alias("_bh"),
                      F.col("path_prefix").alias("_bp"))
     return (

@@ -331,32 +331,35 @@ def render_warc(docs: DataFrame) -> DataFrame:
         (F.lit(CRAWL_EPOCH).cast("timestamp")
          + F.make_interval(secs=F.col("doc_id").cast("double"))
          ).alias("warc_ts"),
-        F.encode(
-            F.format_string(HTML_TEMPLATE, "doc_id", "text", "lang",
-                            "source"), "utf-8").alias("html"),
+        F.format_string(HTML_TEMPLATE, "doc_id", "text", "lang",
+                        "source").alias("html"),
     )
+    # records stay STRINGS until one final encode: an aggregate-fold of
+    # binary concat would copy the accumulated payload once per record
+    # (O(bytes^2) per file); array_join is linear.  Content-Length is
+    # octet_length (utf-8 BYTES), which is what the parser slices by.
     rec = F.concat(
-        F.encode(F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
-                  "WARC-Target-URI: "), F.col("url"),
-            F.lit("\r\nWARC-Date: "),
-            F.date_format("warc_ts", WARC_DATE_FMT),
-            F.lit("\r\nContent-Length: "),
-            F.length("html").cast("string"),
-            F.lit("\r\n\r\n")), "utf-8"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Date: "),
+        F.date_format("warc_ts", WARC_DATE_FMT),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("html").cast("string"),
+        F.lit("\r\n\r\n"),
         F.col("html"),
-        F.encode(F.lit("\r\n\r\n"), "utf-8"))
+        F.lit("\r\n\r\n"))
     return (
         p.select("source", "doc_id", rec.alias("rec"))
         .groupBy("source")
         .agg(F.count("*").alias("n_records"),
-             F.aggregate(
-                 F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("doc_id", "rec"))),
-                     lambda s: s.rec),
-                 F.lit(b""),
-                 lambda acc, r: F.concat(acc, r)).alias("payload"))
+             F.encode(
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("doc_id", "rec"))),
+                         lambda s: s.rec),
+                     ""),
+                 "utf-8").alias("payload"))
         .select(F.col("source").alias("warc_id"), "payload", "n_records")
     )
 

@@ -752,3 +752,51 @@ def test_warc_roundtrip_counts(spark):
     assert direct.join(via, "url").where(
         F.col("h1") != F.col("h2")).count() == 0
     assert direct.join(via, "url").count() == n_docs
+
+
+def test_warc_adversarial_headers(spark):
+    """Negative Content-Length must terminate with an error row (not
+    loop forever); spec-valid case/whitespace header variants must
+    parse; a pathless url is blocked by a whole-host rule."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import warc as W
+    from simple_html_parser_spark.operators import weburl as WU
+
+    neg = (b"WARC/1.0\r\nWARC-Target-URI: doc://x/1\r\n"
+           b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+           b"Content-Length: -33\r\n\r\nbody\r\n\r\n")
+    odd = (b"WARC/1.0\r\nwarc-target-uri:doc://y/1\r\n"
+           b"WARC-DATE:  2025-01-01T00:00:00Z\r\n"
+           b"content-length: 4\r\n\r\nbody\r\n\r\n")
+    out = {r.warc_id: r for r in W.parse_warc(spark.createDataFrame([
+        Row(warc_id="neg", payload=neg),
+        Row(warc_id="odd", payload=odd),
+    ])).collect()}
+    assert out["neg"].error == "negative Content-Length"
+    assert out["odd"].error is None
+    assert out["odd"].target_uri == "doc://y/1"
+    assert out["odd"].html == b"body"
+
+    log = spark.createDataFrame(
+        [(1, "https://src3.example.com"),
+         (2, "https://ok.example.com/a.html")],
+        "doc_id bigint, url string")
+    rules = spark.createDataFrame([("src3.example.com", "/")],
+                                  "host string, path_prefix string")
+    kept = WU.blocklist_filter(log, rules)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_pii_counts_match_scrub_on_adjacent_matches(spark):
+    """Counts are taken on the text as it exists when each pattern
+    runs: a phone glued to an email is only \\b-matchable after the
+    email is replaced, and the count must agree with the scrub."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.pii import pii_scrub
+
+    r = pii_scrub(spark.createDataFrame(
+        [Row(doc_id=1, text="a@b.com555-123-4567")])).collect()[0]
+    assert r.scrubbed_text == "<EMAIL><PHONE>"
+    assert r.n_emails == 1 and r.n_phones == 1
