@@ -800,3 +800,21 @@ def test_pii_counts_match_scrub_on_adjacent_matches(spark):
         [Row(doc_id=1, text="a@b.com555-123-4567")])).collect()[0]
     assert r.scrubbed_text == "<EMAIL><PHONE>"
     assert r.n_emails == 1 and r.n_phones == 1
+
+
+def test_url_dedup_latest_tie_determinism(spark):
+    """Two captures of one url at the SAME timestamp resolve by
+    fetch_seq — deterministically, under any partitioning."""
+    from simple_html_parser_spark.operators import weburl as WU
+
+    log = spark.createDataFrame(
+        [("u", "2025-01-01 00:00:00", 100, 0),
+         ("u", "2025-01-01 00:00:00", 200, 1),
+         ("v", "2025-01-01 00:00:01", 300, 0)],
+        "url string, ts string, n_bytes bigint, fetch_seq bigint"
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"),
+             "n_bytes", "fetch_seq")
+    for frame in (log, log.repartition(7)):
+        out = {r.url: r for r in WU.url_dedup_latest(frame).collect()}
+        assert out["u"].n_bytes == 200 and out["u"].n_fetches == 2
+        assert out["v"].n_bytes == 300
