@@ -496,7 +496,8 @@ def segments_col(seg_len: int = 8, toks: Column = None) -> Column:
         F.array().cast("array<string>"))
 
 
-def dedup_lines(docs: DataFrame, seg_len: int = 8) -> DataFrame:
+def dedup_lines(docs: DataFrame, seg_len: int = 8,
+                unpersist_handles: list | None = None) -> DataFrame:
     """CCNet-style corpus-level line dedup: split every document into
     fixed-width token segments, keep only the globally FIRST occurrence
     of each distinct segment (first = smallest (doc_id, seg_idx)), and
@@ -507,25 +508,39 @@ def dedup_lines(docs: DataFrame, seg_len: int = 8) -> DataFrame:
     Scale shape (10^12 docs): winner election is a hash AGGREGATE on
     the segment string with map-side partial min — boilerplate segments
     duplicated across millions of pages are pre-combined per map task,
-    so the hot keys that would wreck a row_number window sort are
-    absorbed before the exchange.  The seg→winner join back is a
-    shuffle join on the same key (AQE skew-split applies); reassembly
-    is one agg on doc_id.  At prod, shuffle on xxhash64(seg) instead of
-    the raw string to shrink exchange width."""
+    so the hot keys that would turn a row_number window's per-key sort
+    into a one-task straggler are absorbed before the exchange.  The
+    ordering key is ONE bigint (doc_id·2²² + seg_idx), not
+    min(struct(doc_id, seg_idx)): a struct min cannot live in the
+    hash-agg buffer and silently demotes to SortAggregate (measured
+    4.7x slower at 160k docs; the plan audit pins no SortAggregate).
+    Bounds: seg_idx < 2²² (a 33M-token doc — far past any length
+    filter) and doc_id < 2⁴¹; ANSI mode throws loudly, never wraps,
+    if either is exceeded.  The seg→winner join back is a shuffle join
+    on the same key (AQE skew-split applies); reassembly is one agg on
+    doc_id.  At prod, shuffle on xxhash64(seg) instead of the raw
+    string to shrink exchange width."""
+    from pyspark import StorageLevel
+
+    key = (F.col("doc_id") * F.lit(1 << 22).cast("bigint")
+           + F.col("seg_idx"))
+    # ONE persisted explode feeds both the winner election and the
+    # probe side (same discipline as dedup_minhash_lsh's shingle
+    # frame) — without it the corpus is tokenized+exploded twice
     segs = (
         docs.select("doc_id", tokens_col().alias("_toks"))
         .select("doc_id",
                 F.posexplode(segments_col(seg_len, F.col("_toks")))
                 .alias("seg_idx", "seg"))
+        .withColumn("_k", key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    winner = segs.groupBy("seg").agg(
-        F.min(F.struct("doc_id", "seg_idx")).alias("w"))
+    if unpersist_handles is not None:
+        unpersist_handles.append(segs)
+    winner = segs.groupBy("seg").agg(F.min("_k").alias("_wk"))
     kept = (
         segs.join(winner, "seg")
-        .withColumn(
-            "_keep",
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("seg_idx") == F.col("w.seg_idx")))
+        .withColumn("_keep", F.col("_k") == F.col("_wk"))
     )
     return (
         kept.groupBy("doc_id")

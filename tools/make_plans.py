@@ -85,10 +85,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      ["MapInPandas"], ["Exchange"]),
     ("dedup_lines",
      "CCNet-style line dedup: winner election is a hash AGGREGATE on "
-     "the segment (map-side partial min absorbs boilerplate hot "
-     "keys), never a row_number window sort; reassembly is one agg "
-     "on doc_id",
-     ["HashAggregate"], ["Window"]),
+     "the segment over a SCALAR bigint key (map-side partial min "
+     "absorbs boilerplate hot keys; a struct key would demote to "
+     "SortAggregate), never a row_number window sort; reassembly's "
+     "collect_list agg is the only object agg",
+     ["HashAggregate"], ["Window", "SortAggregate"]),
     ("decontaminate",
      "benchmark shingle set broadcast (eval suites are small vs the "
      "crawl): hits marked by BroadcastHashJoin — the corpus side is "
