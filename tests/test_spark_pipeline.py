@@ -818,3 +818,40 @@ def test_url_dedup_latest_tie_determinism(spark):
         out = {r.url: r for r in WU.url_dedup_latest(frame).collect()}
         assert out["u"].n_bytes == 200 and out["u"].n_fetches == 2
         assert out["v"].n_bytes == 300
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    """Randomized cross-check beyond the closed-form corpus: the Spark
+    plan must match an independent pure-Python implementation of
+    first-occurrence segment dedup on a seeded random corpus with
+    heavy segment sharing."""
+    import random
+
+    from simple_html_parser_spark.operators.dedup import dedup_lines
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(60):
+        n = rng.randint(0, 37)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    # independent reference: first (doc_id, seg_idx) wins, doc order
+    seen: set = set()
+    expect: dict = {}
+    for d, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        segs = [" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if segs:
+            expect[d] = (" ".join(kept), len(segs), len(kept))
+
+    out = {r.doc_id: (r.kept_text, r.n_segments, r.n_kept)
+           for r in dedup_lines(
+               spark.createDataFrame(docs, "doc_id bigint, text string")
+           ).collect()}
+    assert out == expect
