@@ -391,6 +391,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (WU.blocklist_filter(load_crawl(spark, sf), rules)
                 .select("doc_id", "url", "n_bytes", "fetch_seq"))
     q["crawl_blocklist"] = _blocklist_q
+    # stratified mix: per-host sampling rates (src0 all, src1 5%,
+    # src2 none, everyone else the 20% default)
+    def _mix_q(spark, sf):
+        weights = spark.createDataFrame(
+            [("src0.example.com", 10000), ("src1.example.com", 500),
+             ("src2.example.com", 0)],
+            "host string, rate_bp bigint")
+        return (WU.domain_mix_sample(load_crawl(spark, sf), weights,
+                                     default_rate_bp=2000)
+                .select("doc_id", "url", "n_bytes", "fetch_seq"))
+    q["crawl_domain_mix"] = _mix_q
     # per-domain quota cap (salted two-phase top-k per host)
     q["crawl_domain_quota"] = lambda spark, sf: (
         WU.domain_quota(load_crawl(spark, sf), k=10))
@@ -980,6 +991,17 @@ def oracle_sql() -> dict[str, str]:
           AND NOT (source IN ('src0', 'src4', 'src8', 'src12', 'src16')
                    AND lang = 'en'
                    AND CAST(doc_id % 50 AS VARCHAR) LIKE '1%')"""
+
+    # stratified-mix replay: per-source rate CASE over the same md5
+    # bucket polynomial
+    o["crawl_domain_mix"] = f"""
+        WITH {_CRAWL_CTE}
+        SELECT doc_id, url, n_bytes, fetch_seq FROM crawl
+        WHERE {_hex6_mod_sql('url')} <
+              CASE source WHEN 'src0' THEN 10000
+                          WHEN 'src1' THEN 500
+                          WHEN 'src2' THEN 0
+                          ELSE 2000 END"""
 
     # quota replay: ONE window suffices as the oracle (the Spark side's
     # salted two-phase selection is exact, so results must be identical)

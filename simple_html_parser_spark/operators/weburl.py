@@ -174,3 +174,29 @@ def blocklist_filter(crawl: DataFrame, rules: DataFrame) -> DataFrame:
                "left_anti")
         .drop("_host", "_path")
     )
+
+
+def domain_mix_sample(crawl: DataFrame, weights: DataFrame,
+                      default_rate_bp: int = 10000) -> DataFrame:
+    """Stratified corpus mixing: sample each host at its own rate
+    (``weights(host, rate_bp)``; hosts absent from the table keep
+    ``default_rate_bp``).  The up/down-weighting step a curated-mix
+    pipeline runs after quality scoring — e.g. keep 100% of a curated
+    domain but 5% of a boilerplate-heavy one.
+
+    Deterministic like ``domain_hash_sample`` (same md5-bucket per
+    url, so raising a host's rate strictly GROWS its sample — earlier
+    picks never churn out).  Scale shape: the weights table is
+    human-curated (small) → broadcast LEFT join + one codegen filter;
+    the fetch log never shuffles."""
+    u = F.col("url")
+    c = crawl.withColumn("_host", F.parse_url(u, F.lit("HOST")))
+    w = weights.select(F.col("host").alias("_wh"),
+                       F.col("rate_bp").alias("_rate"))
+    return (
+        c.join(F.broadcast(w), F.col("_host") == F.col("_wh"), "left")
+        .where(url_hash_bucket(u)
+               < F.coalesce(F.col("_rate"),
+                            F.lit(default_rate_bp).cast("bigint")))
+        .drop("_host", "_wh", "_rate")
+    )

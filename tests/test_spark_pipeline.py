@@ -855,3 +855,27 @@ def test_dedup_lines_matches_python_reference(spark):
                spark.createDataFrame(docs, "doc_id bigint, text string")
            ).collect()}
     assert out == expect
+
+
+def test_domain_mix_rates_and_monotonicity(spark):
+    """Per-host rates apply (src2 fully dropped, src0 fully kept) and
+    raising a rate strictly grows the sample (no churn — the md5
+    bucket per url is fixed)."""
+    from simple_html_parser_spark.operators import weburl as WU
+    from simple_html_parser_spark.sources.documents import load_crawl
+
+    crawl = load_crawl(spark, SF)
+    weights = spark.createDataFrame(
+        [("src0.example.com", 10000), ("src2.example.com", 0)],
+        "host string, rate_bp bigint")
+    out = WU.domain_mix_sample(crawl, weights, default_rate_bp=2000)
+    hosts = {r.url.split("/")[2].split(".")[0] for r in out.collect()}
+    assert "src2" not in hosts and "src0" in hosts
+    n_src0 = out.where(F.col("url").contains("//src0.")).count()
+    assert n_src0 == crawl.where(F.col("url").contains("//src0.")).count()
+
+    lo = {r.url for r in WU.domain_mix_sample(
+        crawl, weights, default_rate_bp=1000).select("url").collect()}
+    hi = {r.url for r in WU.domain_mix_sample(
+        crawl, weights, default_rate_bp=5000).select("url").collect()}
+    assert lo < hi

@@ -95,6 +95,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "crawl): hits marked by BroadcastHashJoin — the corpus side is "
      "one explode + hash-agg pass with NO shuffle on the shingle key",
      ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("crawl_domain_mix",
+     "stratified mixing: weights table broadcast LEFT join + one "
+     "codegen filter — the fetch log never shuffles",
+     ["BroadcastHashJoin"],
+     ["SortMergeJoin", "Exchange hashpartitioning"]),
     ("crawl_blocklist",
      "blocklist anti-join: equi-keyed on host (BroadcastHashJoin "
      "LeftAnti with the path-prefix test as the join residual) — "
