@@ -514,16 +514,22 @@ def dedup_lines(docs: DataFrame, seg_len: int = 8,
     min(struct(doc_id, seg_idx)): a struct min cannot live in the
     hash-agg buffer and silently demotes to SortAggregate (measured
     4.7x slower at 160k docs; the plan audit pins no SortAggregate).
-    Bounds: seg_idx < 2²² (a 33M-token doc — far past any length
-    filter) and doc_id < 2⁴¹; ANSI mode throws loudly, never wraps,
-    if either is exceeded.  The seg→winner join back is a shuffle join
+    Bounds: doc_id < 2⁴¹ (ANSI overflow throws in the multiply) and
+    seg_idx < 2²² (a 33M-token doc, far past any length filter) —
+    the seg_idx bound would NOT overflow, it would silently collide
+    with the next doc's keys, so it is ENFORCED with raise_error.  The seg→winner join back is a shuffle join
     on the same key (AQE skew-split applies); reassembly is one agg on
     doc_id.  At prod, shuffle on xxhash64(seg) instead of the raw
     string to shrink exchange width."""
     from pyspark import StorageLevel
 
-    key = (F.col("doc_id") * F.lit(1 << 22).cast("bigint")
-           + F.col("seg_idx"))
+    key = F.when(
+        F.col("seg_idx") < F.lit(1 << 22),
+        F.col("doc_id") * F.lit(1 << 22).cast("bigint")
+        + F.col("seg_idx")
+    ).otherwise(F.raise_error(F.lit(
+        "dedup_lines: seg_idx >= 2^22 would corrupt winner election "
+        "(doc over ~33M tokens; length-filter the corpus first)")))
     # ONE persisted explode feeds both the winner election and the
     # probe side (same discipline as dedup_minhash_lsh's shingle
     # frame) — without it the corpus is tokenized+exploded twice

@@ -3,6 +3,11 @@ corpus: hash-aggregate min(struct) + join-back (the shipped shape) vs
 the naive row_number window over segments.
 
     python3 tools/line_dedup_experiment.py [replicas=8] [sf_dir]
+        [--boilerplate]
+
+``--boilerplate`` (any position) prepends the same 8 tokens to every
+doc, making its first segment one global hot key (df = corpus size) —
+the SCALE.md recorded run is ``32 /root/testdata/sf0.1 --boilerplate``.
 
 The replicated corpus models a crawl where every page was re-fetched
 ``replicas`` times: every segment's df multiplies, which is exactly the
@@ -60,13 +65,14 @@ def window_line_dedup(docs, seg_len: int = 8):
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--boilerplate"]
+    boiler = "--boilerplate" in sys.argv[1:]
+    replicas = int(args[0]) if args else 8
+    sf = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("linededup-exp", master="local[8]",
                       shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
-    boiler = len(sys.argv) > 3 and sys.argv[3] == "--boilerplate"
     base = load_table(spark, sf, "documents").select("doc_id", "text")
     if boiler:
         # every doc STARTS with the same 8 tokens, so its first

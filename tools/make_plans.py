@@ -99,7 +99,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "stratified mixing: weights table broadcast LEFT join + one "
      "codegen filter — the fetch log never shuffles",
      ["BroadcastHashJoin"],
-     ["SortMergeJoin", "Exchange hashpartitioning"]),
+     # 'hashpartitioning' (a shuffle's Arguments line), NOT plain
+     # 'Exchange' — the intended BroadcastExchange would false-match,
+     # and 'Exchange hashpartitioning' never appears in formatted mode
+     # (the node name and its Arguments print on separate lines)
+     ["SortMergeJoin", "hashpartitioning"]),
     ("crawl_blocklist",
      "blocklist anti-join: equi-keyed on host (BroadcastHashJoin "
      "LeftAnti with the path-prefix test as the join residual) — "

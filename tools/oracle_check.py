@@ -64,6 +64,12 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL {name}: spark error {e}")
             failures += 1
             continue
+        finally:
+            # several operators persist intermediates (LSH shingles,
+            # line-dedup segments); 73 queries in one session would
+            # accrete cached blocks and degrade later queries (the
+            # r3 bench hygiene lesson) — release between queries
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
