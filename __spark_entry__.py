@@ -391,6 +391,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (WU.blocklist_filter(load_crawl(spark, sf), rules)
                 .select("doc_id", "url", "n_bytes", "fetch_seq"))
     q["crawl_blocklist"] = _blocklist_q
+    # crawl delta: previous snapshot (base fetches minus every 9th
+    # doc) vs current (latest captures minus every 11th doc) — added/
+    # removed/changed/unchanged per host
+    def _delta_q(spark, sf):
+        crawl = load_crawl(spark, sf)
+        old = (crawl.where((F.col("fetch_seq") == 0)
+                           & (F.col("doc_id") % 9 != 0))
+               .select("url", "n_bytes"))
+        new = WU.url_dedup_latest(crawl.where(F.col("doc_id") % 11 != 0))
+        return WU.crawl_delta(old, new)
+    q["crawl_delta"] = _delta_q
     # stratified mix: per-host sampling rates (src0 all, src1 5%,
     # src2 none, everyone else the 20% default)
     def _mix_q(spark, sf):
@@ -991,6 +1002,23 @@ def oracle_sql() -> dict[str, str]:
           AND NOT (source IN ('src0', 'src4', 'src8', 'src12', 'src16')
                    AND lang = 'en'
                    AND CAST(doc_id % 50 AS VARCHAR) LIKE '1%')"""
+
+    # delta replay: membership and change are closed-form in doc_id
+    # (old = %9-survivor base bytes; new = %11-survivor latest bytes,
+    # which differ exactly when a refetch happened: doc_id % 3 = 0)
+    o["crawl_delta"] = """
+        WITH cat AS (
+            SELECT (source || '.example.com') AS host,
+                   CASE WHEN doc_id % 9 = 0 AND doc_id % 11 <> 0
+                            THEN 'added'
+                        WHEN doc_id % 9 <> 0 AND doc_id % 11 = 0
+                            THEN 'removed'
+                        WHEN doc_id % 3 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            WHERE NOT (doc_id % 9 = 0 AND doc_id % 11 = 0))
+        SELECT host, status, count(*) AS n
+        FROM cat GROUP BY host, status"""
 
     # stratified-mix replay: per-source rate CASE over the same md5
     # bucket polynomial

@@ -200,3 +200,30 @@ def domain_mix_sample(crawl: DataFrame, weights: DataFrame,
                             F.lit(default_rate_bp).cast("bigint")))
         .drop("_host", "_wh", "_rate")
     )
+
+
+def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Crawl freshness report: compare two url-level snapshots (one
+    row per url each, e.g. ``url_dedup_latest`` outputs) and count per
+    host how many urls were added, removed, changed (byte count
+    differs), or unchanged.  Returns (host, status, n).
+
+    Scale shape: ONE full-outer shuffle join on url between the two
+    snapshots, then a host/status hash-agg on the (small) categorized
+    result.  At prod, write both snapshots bucketed by url-hash and
+    the join becomes a co-located zero-shuffle merge; AQE handles the
+    residual skew either way."""
+    o = old.select("url", F.col("n_bytes").alias("_ob"))
+    n = new.select("url", F.col("n_bytes").alias("_nb"))
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("_ob").isNull(), "added")
+        .when(F.col("_nb").isNull(), "removed")
+        .when(F.col("_ob") != F.col("_nb"), "changed")
+        .otherwise("unchanged"))
+    return (
+        j.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+                 status.alias("status"))
+        .groupBy("host", "status")
+        .agg(F.count("*").alias("n"))
+    )

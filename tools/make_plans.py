@@ -95,6 +95,11 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "crawl): hits marked by BroadcastHashJoin — the corpus side is "
      "one explode + hash-agg pass with NO shuffle on the shingle key",
      ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("crawl_delta",
+     "snapshot diff: one full-outer shuffle join on url between the "
+     "two snapshots, then a host/status hash-agg; at prod both "
+     "snapshots are bucketed by url-hash making the join co-located",
+     ["FullOuter", "HashAggregate"], ["NestedLoop"]),
     ("crawl_domain_mix",
      "stratified mixing: weights table broadcast LEFT join + one "
      "codegen filter — the fetch log never shuffles",
