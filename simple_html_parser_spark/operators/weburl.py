@@ -56,9 +56,22 @@ def url_dedup_latest(crawl: DataFrame) -> DataFrame:
     tie-free).  The key is a SCALAR bigint, not
     struct(warc_ts, fetch_seq): a struct ordering key cannot live in a
     hash-aggregation buffer and silently demotes the whole plan to
-    SortAggregate — the plan audit pins HashAggregate."""
-    ord_key = (F.unix_micros("warc_ts") * 1000
-               + F.pmod("fetch_seq", F.lit(1000)))
+    SortAggregate — the plan audit pins HashAggregate.
+
+    The fold reserves 12 bits for fetch_seq (micros*4096 + seq):
+    4096 same-microsecond captures of one url is beyond any real
+    fetcher, and the budget is ENFORCED with raise_error (mirroring
+    dedup_lines' seg_idx guard) rather than silently wrapped —
+    ADVICE r03.  micros*4096 stays under bigint max through 2041;
+    ANSI mode turns any later overflow into a loud error, never a
+    wrong winner."""
+    seq = F.when(
+        F.col("fetch_seq") < F.lit(1 << 12),
+        F.col("fetch_seq").cast("bigint"),
+    ).otherwise(F.raise_error(F.lit(
+        "url_dedup_latest: fetch_seq >= 4096 within one url breaks "
+        "the scalar ordering-key fold; widen the budget")))
+    ord_key = F.unix_micros("warc_ts") * F.lit(4096).cast("bigint") + seq
     return (
         crawl.groupBy("url")
         .agg(F.max("warc_ts").alias("warc_ts"),

@@ -310,19 +310,31 @@ def load_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- WARC container files (Common Crawl's input format) -------------------
-# Each source's pages packed into one WARC file, records in doc_id
-# order, every header field closed-form in (source, doc_id) — so the
-# WARC record parser (operators/warc.py) is fully DuckDB-oracle-able.
-# Rendered with pure JVM expressions (binary concat + an ordered
-# collect_list aggregate); bodies are the same HTML_TEMPLATE pages the
-# extraction oracle already pins.
+# Pages packed into per-(source, doc_id-block) WARC files, records in
+# doc_id order, every header field closed-form in (source, doc_id) —
+# so the WARC record parser (operators/warc.py) is fully
+# DuckDB-oracle-able.  Rendered with pure JVM expressions (binary
+# concat + an ordered collect_list aggregate); bodies are the same
+# HTML_TEMPLATE pages the extraction oracle already pins.
 
 WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+# Records per file are CAPPED by bucketing on doc_id range (ADVICE
+# r03: one-file-per-source made a single payload row grow linearly
+# with sf — groupBy source collects a source's whole corpus into one
+# binary, breaking executor memory / Arrow's 2 GB binary limit at
+# large sf and serializing each source into one task).  A 320-wide
+# doc_id block holds 16 records per file at the synthesis's 20
+# sources; file count now grows with sf while per-file payload stays
+# constant.  LOAD-BEARING for the warc_records oracle SQL in
+# __spark_entry__ (warc_id suffix + rec_idx partitioning mirror it).
+WARC_DOC_BLOCK = 320
 
 
 def render_warc(docs: DataFrame) -> DataFrame:
     """(doc_id, text, lang, source, …) → WARC files
-    (warc_id, payload binary, n_records): one file per source, records
+    (warc_id, payload binary, n_records): one file per (source,
+    doc_id-block of WARC_DOC_BLOCK), warc_id = ``source-pN``, records
     sorted by doc_id, each
     ``WARC/1.0 CRLF headers CRLF CRLF body CRLF CRLF``."""
     p = docs.select(
@@ -348,9 +360,11 @@ def render_warc(docs: DataFrame) -> DataFrame:
         F.lit("\r\n\r\n"),
         F.col("html"),
         F.lit("\r\n\r\n"))
+    part = F.expr(f"doc_id div {WARC_DOC_BLOCK}")
     return (
-        p.select("source", "doc_id", rec.alias("rec"))
-        .groupBy("source")
+        p.select("source", "doc_id", rec.alias("rec"),
+                 part.alias("part"))
+        .groupBy("source", "part")
         .agg(F.count("*").alias("n_records"),
              F.encode(
                  F.array_join(
@@ -360,7 +374,8 @@ def render_warc(docs: DataFrame) -> DataFrame:
                          lambda s: s.rec),
                      ""),
                  "utf-8").alias("payload"))
-        .select(F.col("source").alias("warc_id"), "payload", "n_records")
+        .select(F.format_string("%s-p%s", "source", "part")
+                .alias("warc_id"), "payload", "n_records")
     )
 
 

@@ -51,8 +51,10 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      ["LeftSemi", "InMemoryTableScan"], []),
     ("dedup_simhash",
      "banded hamming candidate join over 64-bit signatures; no "
-     "shingle join at all",
-     [], []),
+     "shingle join at all; hot (band,key) buckets pruned via "
+     "broadcast LeftAnti before the self-join (max_bucket=64, "
+     "VERDICT r03 item 3)",
+     ["LeftAnti"], []),
     ("embedding_srp_lsh",
      "SRP-LSH candidates banded on (vec_id, band, key) ONLY — the "
      "64-float embedding never crosses the band exchange (checked "
