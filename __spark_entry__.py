@@ -726,7 +726,10 @@ def oracle_sql() -> dict[str, str]:
     # op's matched-id list is a per-doc constant (pinned from the
     # kernel, reference-verified by the query-api golden case)
     o["kernel_query_api"] = f"""
-        SELECT {_v_url['main']} AS url, v.op, v.arg, v.ids
+        SELECT {_v_url['main']} AS url, v.op, v.arg,
+               CASE WHEN v.op = 'comments_no_type'
+                    THEN '34: id:' || CAST(doc_id AS VARCHAR) || ' '
+                    ELSE v.ids END AS ids
         FROM documents, (VALUES
             ('qsa', 'nav a', '14,17'),
             ('qsa', '.main', '21'),
@@ -738,7 +741,10 @@ def oracle_sql() -> dict[str, str]:
             ('by_attr', 'href', '14,17,30'),
             ('by_type', 'comment', '34'),
             ('nodes_by_type', 'text', '4,15,18,23,26,31,36'),
-            ('comments', '', '34')
+            ('comments', '', '34'),
+            ('comments_no_content', '', '34:html-comment'),
+            ('comments_no_type', '', ''),
+            ('comments_bare', '', '34')
         ) AS v(op, arg, ids)"""
 
     # cssFind* over the cssy template: at-rule, compound-vs-exact rule
@@ -753,10 +759,10 @@ def oracle_sql() -> dict[str, str]:
                     ELSE v.value END AS value
         FROM documents, (VALUES
             ('at_rule', 'media', 'screen'),
-            ('rules_compound', '.a', '5,8'),
-            ('rules_exact', '.a', '5,8'),
-            ('rules_compound', '.d', '10'),
-            ('rules_exact', '.d', '10'),
+            ('rules_compound', '.a', '5,9'),
+            ('rules_exact', '.a', '5,9'),
+            ('rules_compound', '.d', '11'),
+            ('rules_exact', '.d', '11'),
             ('var::root', '--c', '#0a0'),
             ('var::root', '--pad', ''),
             ('var:#hdr', '--local', '7px')

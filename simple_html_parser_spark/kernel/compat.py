@@ -75,12 +75,33 @@ def run_op(tree: FlatTree, op: dict):
     if name == "nodes_by_type":
         return selector.get_nodes_by_type(tree, ctx, op["name"])
     if name == "comments":
-        return [
-            {"content": c.get("content"),
-             "commentType": c.get("commentType"),
-             "node": c["node"]}
-            for c in selector.get_comments(tree, ctx)
-        ]
+        opts = op.get("options")
+        if opts is None:
+            return [
+                {"content": c.get("content"),
+                 "commentType": c.get("commentType"),
+                 "node": c["node"]}
+                for c in selector.get_comments(tree, ctx)
+            ]
+        # option-flag forms: emit ONLY the keys the reference sets
+        # (node.js:1287-1316); both-false returns the raw node,
+        # serialized as {bare_node} to match ref_dump.mjs
+        inc_content = opts.get("includeContent", True)
+        inc_type = opts.get("includeType", True)
+        res = selector.get_comments(
+            tree, ctx, include_content=inc_content,
+            include_type=inc_type)
+        if not inc_content and not inc_type:
+            return [{"bare_node": c["node"]} for c in res]
+        out = []
+        for c in res:
+            o: dict = {"node": c["node"]}
+            if "content" in c:
+                o["content"] = c["content"]
+            if "commentType" in c:
+                o["commentType"] = c["commentType"]
+            out.append(o)
+        return out
     if name == "get_tag":
         return serialize.get_tag(tree, ctx)
     if name == "inner_html":

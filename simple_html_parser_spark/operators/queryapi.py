@@ -33,6 +33,14 @@ QUERY_OPS: tuple[tuple[str, str], ...] = (
     ("by_type", "comment"),
     ("nodes_by_type", "text"),
     ("comments", ""),
+    # getComments option flags (reference node.js:1287-1316): the
+    # emitted object keeps only the keys the options ask for; with
+    # both false the reference returns the raw NODE.  Serialized into
+    # the ids column as node:commentType / node:content / node so the
+    # option semantics are value-checked, not just shape-checked.
+    ("comments_no_content", ""),
+    ("comments_no_type", ""),
+    ("comments_bare", ""),
 )
 
 QUERY_SCHEMA = "url string, op string, arg string, ids string"
@@ -59,6 +67,16 @@ def _run_query_op(t, op: str, arg: str) -> list[int]:
         return selector.get_nodes_by_type(t, 0, arg)
     if op == "comments":
         return [c["node"] for c in selector.get_comments(t, 0)]
+    if op == "comments_no_content":
+        return [f"{c['node']}:{c.get('commentType', '-')}"
+                for c in selector.get_comments(t, 0,
+                                               include_content=False)]
+    if op == "comments_no_type":
+        return [f"{c['node']}:{c.get('content', '-')}"
+                for c in selector.get_comments(t, 0, include_type=False)]
+    if op == "comments_bare":
+        return [c["node"] for c in selector.get_comments(
+            t, 0, include_content=False, include_type=False)]
     raise ValueError(op)
 
 
@@ -300,6 +318,7 @@ CSS_SER_COMBOS: tuple[tuple[str, dict], ...] = (
     ("no_combine", {"combineDeclarations": False}),
     ("bare", {"includeBraces": False, "includeSelector": False}),
     ("indent2", {"indent": 2}),
+    ("comments", {"includeComments": True}),
 )
 
 CSS_SER_SCHEMA = "url string, combo string, out string"

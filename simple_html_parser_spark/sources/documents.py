@@ -124,6 +124,7 @@ TPL_CSSY = (
     ":root { --c: #0a0; --pad: %1$spx; } "
     ".a, .b { color: var(--c); padding: 2px; } "
     "#hdr { margin: 0; --local: 7px; } "
+    "/* theme %1$s */ "
     "@media screen { .a { width: 10px; } } "
     ".c { .d { x: y; } top: 1px; }"
     "</style></head>"
@@ -170,6 +171,19 @@ TPL_CSSY_SERIALIZED = {
                '\n  }\n  @media screen {\n    .a {\n        width: '
                '10px;\n    }\n\n  }\n  .c {\n      top: 1px;\n'
                '      .d {\n          x: y;\n      }\n  }',
+    # includeComments=true (reference node.js:732,813,855; exercised
+    # by test/css.test.js:112-127) — the template's top-level
+    # '/* theme N */' comment is emitted in place, in document order;
+    # all OTHER combos default includeComments=false and skip comment
+    # nodes entirely, which is why their forms are byte-identical to
+    # the comment-free template's (re-derived via ref_dump, r4)
+    "comments": ':root {\n    --c: #0a0;\n    --pad: @D@px;\n}\n'
+                '.a, .b {\n    color: var(--c);\n    padding: 2px;\n}\n'
+                '#hdr {\n    margin: 0;\n    --local: 7px;\n}\n'
+                '/* theme @D@ */\n'
+                '@media screen {\n    .a {\n        width: 10px;\n    }'
+                '\n\n}\n.c {\n    top: 1px;\n    .d {\n        x: y;\n'
+                '    }\n}',
 }
 
 # serialize.visualize of the main template (S6) — fixed box-drawing

@@ -108,6 +108,15 @@ _Q_OPS = EXTRACT_OPS + [
     {"op": "nodes_by_type", "name": "text"},
     {"op": "nodes_by_type", "name": "tag-open"},
     {"op": "comments"},
+    # getComments option flags (node.js:1287-1316) — key presence in
+    # the emitted objects depends on the flags; both-false returns the
+    # raw node (serialized as bare_node)
+    {"op": "comments", "options": {"includeContent": False}},
+    {"op": "comments", "options": {"includeType": False}},
+    {"op": "comments",
+     "options": {"includeContent": False, "includeType": False}},
+    {"op": "comments",
+     "options": {"includeContent": True, "includeType": True}},
 ]
 
 _CSS_OPS = [
@@ -139,6 +148,20 @@ _CSS_OPS = [
 CASES = [
     {"id": "basic-div", "html": "<div>Hello World</div>",
      "ops": [{"op": "qsa", "sel": "div"}, {"op": "inner_html", "ctx": 1}]},
+    # getComments flags across ALL comment types in one doc (html
+    # comment, js single+multi line, css comment) — key presence per
+    # flag combination pinned against the reference
+    {"id": "comment-flags",
+     "html": ("<div><!-- top --><script>// one\n/* two */var x=1;"
+              "</script><style>/* css note */ p { color: red; }"
+              "</style><p>text</p><!--tail--></div>"),
+     "ops": [
+         {"op": "comments"},
+         {"op": "comments", "options": {"includeContent": False}},
+         {"op": "comments", "options": {"includeType": False}},
+         {"op": "comments",
+          "options": {"includeContent": False, "includeType": False}},
+     ]},
     {"id": "nested", "html": "<div><p>Text</p></div>", "ops": _Q_OPS[:5]},
     {"id": "attrs",
      "html": '<div id="app" class="container" data-value="123"></div>',
@@ -551,6 +574,13 @@ _QOP_MAP = {
     "by_type": lambda a: {"op": "find_by_type", "name": a},
     "nodes_by_type": lambda a: {"op": "nodes_by_type", "name": a},
     "comments": lambda a: {"op": "comments"},
+    "comments_no_content": lambda a: {
+        "op": "comments", "options": {"includeContent": False}},
+    "comments_no_type": lambda a: {
+        "op": "comments", "options": {"includeType": False}},
+    "comments_bare": lambda a: {
+        "op": "comments",
+        "options": {"includeContent": False, "includeType": False}},
 }
 
 CASES += [

@@ -264,12 +264,28 @@ function runOp(op, root, byId, idOf) {
         case 'find_by_tag': return ids(ctx.findAllByTag(op.name));
         case 'find_by_type': return ids(ctx.findAllByType(op.name));
         case 'nodes_by_type': return ids(ctx.getNodesByType(op.name));
-        case 'comments':
-            return ctx.getComments().map((c) => ({
-                content: c.content ?? null,
-                commentType: c.commentType ?? null,
-                node: idOf.get(c.node) ?? -1,
-            }));
+        case 'comments': {
+            if (op.options === undefined) {
+                return ctx.getComments().map((c) => ({
+                    content: c.content ?? null,
+                    commentType: c.commentType ?? null,
+                    node: idOf.get(c.node) ?? -1,
+                }));
+            }
+            // option-flag forms (node.js:1287-1316): keep only the
+            // keys the reference actually set; with both flags false
+            // the reference returns the raw Node, serialized as
+            // {bare_node: id}
+            return ctx.getComments(op.options).map((c) => {
+                if (c && c.type === 'comment') {
+                    return { bare_node: idOf.get(c) ?? -1 };
+                }
+                const o = { node: idOf.get(c.node) ?? -1 };
+                if ('content' in c) o.content = c.content;
+                if ('commentType' in c) o.commentType = c.commentType;
+                return o;
+            });
+        }
         case 'get_tag': return ctx.getTag();
         case 'inner_html': return ctx.innerHtml(!!op.comments);
         case 'outer_html': return ctx.outerHtml(!!op.comments);
