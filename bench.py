@@ -528,6 +528,21 @@ evidence for the N→4N ≥ 0.8 gate.
 Headline queries at local[{CPUS}], sf{result['sf']}: total
 {result['value']}s; per-query timings in BENCH JSON.
 
+### The dedup_minhash_lsh "regression" (r3 5.69s vs r2 2.36s): named
+
+Controlled A/B at sf0.1 local[32] (r4, 4 runs per arm, warm JVM):
+with clearCache before every run the query costs 9.6/5.8/5.0/4.3s;
+without clearing, 4.6/1.9/1.9/2.5s.  The r2 number was the
+CACHE-REUSE steady state — trial 2 re-persists the same canonicalized
+plans (shingles/signatures/candidates) and Spark's CacheManager
+serves trial 1's blocks.  The r3 BENCH_local 5.69s was a single COLD
+trial taken after the (r3-new) clearCache hygiene.  Neither is wrong:
+cold ≈ 4.3-5.8s is the true one-shot cost (dominated by shingle
+materialization), warm ≈ 1.9-2.5s is the steady state a resident
+pipeline sees.  bench.py's min-of-trials records the warm number;
+per-query hygiene still clears between DIFFERENT queries so caches
+never leak across measurements.
+
 Reference single-node baseline (no published numbers exist —
 measured here, BASELINE.md): the reference JS parser single-threaded
 does ~16 MB/s on the small template pages and ~85 MB/s on these

