@@ -57,7 +57,8 @@ from simple_html_parser_spark.sources.documents import (
     TPL_MAIN_SERIALIZED,
     TPL_MAIN_VISUALIZE, TPL_MALFORMED,
     TPL_SPECIAL_SERIALIZED, TPL_VOIDS,
-    CONTACT_MOD, CRAWL_REFETCH_MOD, load_crawl, load_warc, with_contacts,
+    CONTACT_MOD, CRAWL_REFETCH_MOD, WARC_DOC_BLOCK, load_crawl,
+    load_warc, with_contacts,
     load_documents, load_documents_variant, load_table,
     render_pdf, render_png, render_wav,
 )
@@ -961,12 +962,13 @@ def oracle_sql() -> dict[str, str]:
     # — record order inside a file is doc_id order, so rec_idx is a
     # per-source row_number
     # warc_id / rec_idx mirror sources/documents.render_warc's
-    # (source, doc_id div WARC_DOC_BLOCK=320) file bucketing
+    # (source, doc_id div WARC_DOC_BLOCK) file bucketing
     o["warc_records"] = f"""
         SELECT (source || '-p' ||
-                CAST(doc_id // 320 AS VARCHAR)) AS warc_id,
-               CAST(row_number() OVER (PARTITION BY source, doc_id // 320
-                                       ORDER BY doc_id) - 1 AS INT)
+                CAST(doc_id // {WARC_DOC_BLOCK} AS VARCHAR)) AS warc_id,
+               CAST(row_number() OVER (
+                        PARTITION BY source, doc_id // {WARC_DOC_BLOCK}
+                        ORDER BY doc_id) - 1 AS INT)
                    AS rec_idx,
                {_URL_SQL} AS target_uri,
                strftime(TIMESTAMP '2025-01-01 00:00:00'

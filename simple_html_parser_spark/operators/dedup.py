@@ -246,8 +246,13 @@ def dedup_minhash_lsh(
     computes intersection/union sizes from the two per-doc shingle
     arrays.  The full shingle self-join never appears in the plan
     (cost: O(Σ bucket²) candidates + O(|shingles|) per verified pair,
-    vs O(Σ df(sh)²) for the exact form)."""
+    vs O(Σ df(sh)²) for the exact form).  ``max_bucket=None`` disables
+    the bucket cap; 0/negative are rejected (falsy-zero trap)."""
     from pyspark import StorageLevel
+
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(
+            f"max_bucket must be >= 1 or None, got {max_bucket}")
 
     rows_per_band = num_hashes // bands
     # ONE tokenize+shingle pass over the corpus, persisted; the hot
@@ -284,7 +289,7 @@ def dedup_minhash_lsh(
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bsig")
 
-    if max_bucket:
+    if max_bucket is not None:
         hot_buckets = (banded.groupBy("band", "bsig").count()
                        .where(F.col("count") > max_bucket)
                        .select("band", "bsig"))
@@ -390,7 +395,11 @@ def dedup_simhash(
     with 4 bands and hamming ≤ 3 a pair agrees on ≥1 band, so the cap
     trades bounded work for recall exactly like the minhash cap and
     the shingle df-cut (see SCALE.md).  ``max_bucket=None`` disables
-    the prune (exact-oracle form)."""
+    the prune (exact-oracle form); 0/negative are rejected loudly
+    rather than silently disabling it (falsy-zero trap)."""
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(
+            f"max_bucket must be >= 1 or None, got {max_bucket}")
     sigs = simhash_signatures(docs)
     width = 64 // bands
     banded = sigs.select(
@@ -403,7 +412,7 @@ def dedup_simhash(
             ) for b in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    if max_bucket:
+    if max_bucket is not None:
         hot_buckets = (banded.groupBy("band", "key").count()
                        .where(F.col("count") > max_bucket)
                        .select("band", "key"))

@@ -51,7 +51,7 @@ _PA_Q = pa.schema([
 ])
 
 
-def _run_query_op(t, op: str, arg: str) -> list[int]:
+def _run_query_op(t, op: str, arg: str) -> list[int] | list[str]:
     if op == "qsa":
         return selector.query_selector_all(t, 0, arg)
     if op == "qs":

@@ -66,11 +66,12 @@ def url_dedup_latest(crawl: DataFrame) -> DataFrame:
     ANSI mode turns any later overflow into a loud error, never a
     wrong winner."""
     seq = F.when(
-        F.col("fetch_seq") < F.lit(1 << 12),
+        (F.col("fetch_seq") >= 0) & (F.col("fetch_seq") < F.lit(1 << 12)),
         F.col("fetch_seq").cast("bigint"),
     ).otherwise(F.raise_error(F.lit(
-        "url_dedup_latest: fetch_seq >= 4096 within one url breaks "
-        "the scalar ordering-key fold; widen the budget")))
+        "url_dedup_latest: fetch_seq outside [0, 4096) breaks the "
+        "scalar ordering-key fold (a negative seq would collide with "
+        "the previous microsecond's keys); widen the budget")))
     ord_key = F.unix_micros("warc_ts") * F.lit(4096).cast("bigint") + seq
     return (
         crawl.groupBy("url")

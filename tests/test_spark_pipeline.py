@@ -820,6 +820,37 @@ def test_url_dedup_latest_tie_determinism(spark):
         assert out["v"].n_bytes == 300
 
 
+def test_url_dedup_latest_rejects_out_of_budget_fetch_seq(spark):
+    """fetch_seq outside [0, 4096) must raise loudly, not silently
+    collide ordering keys (a NEGATIVE seq would equal the previous
+    microsecond's fold — r4 review finding)."""
+    import pytest as _pytest
+
+    from simple_html_parser_spark.operators import weburl as WU
+
+    for bad in (-1, 4096):
+        log = spark.createDataFrame(
+            [("u", "2025-01-01 00:00:00", 100, bad)],
+            "url string, ts string, n_bytes bigint, fetch_seq bigint"
+        ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"),
+                 "n_bytes", "fetch_seq")
+        with _pytest.raises(Exception, match="ordering-key fold"):
+            WU.url_dedup_latest(log).collect()
+
+
+def test_dedup_bucket_cap_rejects_falsy_zero():
+    """max_bucket=0 must be a loud error, not a silent cap-disable
+    (r4 review finding)."""
+    import pytest as _pytest
+
+    from simple_html_parser_spark.operators import dedup as D
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        D.dedup_simhash(None, max_bucket=0)
+    with _pytest.raises(ValueError, match="max_bucket"):
+        D.dedup_minhash_lsh(None, max_bucket=0)
+
+
 def test_dedup_lines_matches_python_reference(spark):
     """Randomized cross-check beyond the closed-form corpus: the Spark
     plan must match an independent pure-Python implementation of
