@@ -18,6 +18,16 @@ DEFAULT_CONFS = {
     # local mode: the driver JVM hosts all executor threads — the 1g
     # default heap GC-thrashes at 32 threads (measured 4x slowdown).
     "spark.driver.memory": "48g",
+    # Shuffle/spill on tmpfs, NOT the VM's virtual disk.  The sandbox
+    # disk sustains ~25 MB/s fsync writes; a long session pushes tens
+    # of GB of shuffle data through the page cache, background
+    # writeback falls behind, and once the dirty-page ratio trips,
+    # EVERY write blocks at disk speed — measured as episodic 5-10x
+    # windows (curate_web 6s → 110s; 1-task jobs with 14s scheduler
+    # gaps and 2s GC inflation) that a pure-CPU host control cannot
+    # see.  Real executors shuffle to local NVMe; tmpfs is the honest
+    # stand-in here (128 GiB RAM, sf0.1 shuffles are a few GB).
+    "spark.local.dir": "/dev/shm/spark-local",
     "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -54,14 +64,40 @@ def get_spark(
             pkg_root + os.pathsep + os.environ["PYTHONPATH"]
             if os.environ.get("PYTHONPATH") else pkg_root)
 
-    builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
-    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
         confs.update(extra_confs)
+    # tmpfs local dir: ensure the root exists and purge leaked subdirs
+    # from crashed sessions (clean shutdowns remove their own; kill -9
+    # leaks RAM-backed files that would otherwise live until reboot)
+    local_dir = confs.get("spark.local.dir")
+    if local_dir and local_dir.startswith("/dev/shm"):
+        try:
+            _prepare_tmpfs_local_dir(local_dir)
+        except OSError:
+            confs.pop("spark.local.dir")  # fall back to /tmp
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _prepare_tmpfs_local_dir(root: str) -> None:
+    """Create the tmpfs local-dir root; purge subdirs older than 6h
+    (leaked by killed sessions — tmpfs files are RAM until reboot)."""
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 6 * 3600
+    for entry in os.scandir(root):
+        try:
+            if entry.is_dir() and entry.stat().st_mtime < cutoff:
+                shutil.rmtree(entry.path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _parallelism_of(master: str) -> int | None:
