@@ -543,6 +543,20 @@ pipeline sees.  bench.py's min-of-trials records the warm number;
 per-query hygiene still clears between DIFFERENT queries so caches
 never leak across measurements.
 
+### Run-to-run spread: read BENCH/history.jsonl, not one run
+
+Full-bench runs land in different host windows.  r4 ran four full
+benches on near-identical code: headline totals 53.3 / 70.6 / 91.0 /
+80.5 s, scaling efficiency 0.855 / 0.852 / 0.791 / 0.827 (five
+ALL-clean pairs each), extraction 92.9 / 64.4 / 66.2 / 81.8 MB/s at
+local[4].  Per-metric bests across runs are the engine's capability;
+any single run is a lower bound with 1-2 noise windows somewhere in
+its ~40 queries.  The r4 tmpfs move (runtime/session.py
+spark.local.dir → /dev/shm) removed the worst systematic mode —
+dirty-page write throttling that degraded repeat trials 6s → 110s
+while CPU controls stayed green; post-fix, repeat trials improve
+monotonically (curate_web 15.8 → 6.2 → 5.7 s).
+
 Reference single-node baseline (no published numbers exist —
 measured here, BASELINE.md): the reference JS parser single-threaded
 does ~16 MB/s on the small template pages and ~85 MB/s on these
