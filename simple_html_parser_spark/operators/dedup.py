@@ -436,7 +436,7 @@ def dedup_simhash(
 
 def dedup_clusters(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | str | None = None, max_iters: int = 20,
+    max_shingle_df: int | str | None = None, max_iters: int = 80,
     pairs: DataFrame | None = None, source: str = "lsh",
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph →
@@ -451,10 +451,21 @@ def dedup_clusters(
     all-pairs shingle join; ``source="exact"`` is the oracle form, same
     output when LSH recall is 1.0, which holds at τ≤0.8 with 8×4
     banding on this corpus — verified vs the DuckDB recursive-CTE
-    oracle at sf0.01 and sf0.1).  Each iteration ``localCheckpoint``s
-    the label frame so iteration k's plan does NOT contain iterations
-    1..k-1's joins, and the convergence count (a driver action) runs
-    only every 2nd iteration over the already-materialized frame."""
+    oracle at sf0.01 and sf0.1).  TWO propagation steps run per
+    ``localCheckpoint`` + convergence-count round: the label frame is
+    materialized every 2nd iteration (plan depth between checkpoints
+    stays ≤ 2 join levels), halving the driver-side materialization
+    jobs that dominated curate_web's warm wall (r4 event-log audit:
+    ~1.3s per checkpoint job at sf0.1).  The 2-step convergence test
+    is sound because min-label propagation is MONOTONE — labels only
+    decrease — so no oscillation exists and f²(x) = x implies
+    f(x) = x.
+
+    ``max_iters`` bounds STEPS (2 per round); with the per-round
+    pointer jump the reach grows geometrically, so 80 steps = 40
+    rounds ≈ reach 2^40 — covers a pathological single-chain
+    component over the full 10^12-doc corpus.  Typical LSH near-dup
+    components are near-cliques: the loop exits after ONE round."""
     if pairs is None:
         fn = dedup_ngram_jaccard if source == "exact" else dedup_minhash_lsh
         pairs = fn(docs, n=n, threshold=threshold,
@@ -472,39 +483,63 @@ def dedup_clusters(
                 F.least("label", "doc_a").alias("cluster_id"))
         .localCheckpoint()
     )
-    for it in range(max_iters):
+    def step(cur: DataFrame) -> DataFrame:
         # propagate: new label = min(own, min over neighbours' labels)
         neigh = (
-            edges.join(labels,
-                       edges.doc_b == labels.doc_id)
+            edges.join(cur, edges.doc_b == cur.doc_id)
             .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
         )
-        updated = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+        return (
+            cur.join(neigh, cur.doc_id == neigh.doc_a, "left")
             .select(
-                labels.doc_id,
+                cur.doc_id,
                 F.least(
-                    labels.cluster_id,
-                    F.coalesce("nmin", labels.cluster_id)
-                ).alias("new_cluster"))
+                    cur.cluster_id,
+                    F.coalesce("nmin", cur.cluster_id)
+                ).alias("cluster_id"))
         )
-        # truncate lineage: the next iteration builds on materialized
-        # partitions, not on a plan tree containing every prior join
-        new_labels = updated.select(
-            "doc_id", F.col("new_cluster").alias("cluster_id")) \
-            .localCheckpoint()
+
+    def shortcut(cur: DataFrame) -> DataFrame:
+        # pointer-jumping: label ← label's own label.  Plain
+        # neighbour-min moves a label ONE hop per step, so a
+        # diameter-d component needs d steps (a 24-node path graph
+        # defeated max_iters=20 — r4 chain test).  One jump per round
+        # makes the reach grow geometrically: O(log d) rounds for any
+        # graph shape, which chain-shaped LSH components at 10^12
+        # docs need.  Applied ONCE per round, directly on top of the
+        # two lineage steps — self-joining an UNCHECKPOINTED deep plan
+        # at every step doubles the plan tree per step (no CSE in
+        # Catalyst) and was measured 13x slower.
+        l1, l2 = cur.alias("l1"), cur.alias("l2")
+        return (
+            l1.join(l2, F.col("l1.cluster_id") == F.col("l2.doc_id"),
+                    "left")
+            .select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l1.cluster_id"),
+                    F.coalesce(F.col("l2.cluster_id"),
+                               F.col("l1.cluster_id"))
+                ).alias("cluster_id"))
+        )
+
+    cur = labels
+    for it in range(max_iters):
+        cur = step(cur)
         if it % 2 == 1 or it == max_iters - 1:
+            # one shortcut jump, then truncate lineage: the next round
+            # builds on materialized partitions, not a plan tree with
+            # every prior join
+            cur = shortcut(cur).localCheckpoint()
             changed = (
-                new_labels.alias("n")
+                cur.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .count()
             )
-            labels = new_labels
+            labels = cur
             if changed == 0:
                 break
-        else:
-            labels = new_labels
     return labels
 
 

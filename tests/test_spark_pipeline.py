@@ -378,6 +378,24 @@ def test_cluster_lineage_truncated(spark):
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
 
 
+def test_cluster_chain_convergence(spark):
+    """A 24-node path graph needs many propagation rounds (diameter
+    23) — the worst case for the 2-steps-per-checkpoint convergence
+    test: every node must still end at the component min, and a
+    two-component graph must stay separate."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.dedup import dedup_clusters
+
+    chain = [Row(doc_a=i, doc_b=i + 1) for i in range(100, 123)]
+    other = [Row(doc_a=500, doc_b=501), Row(doc_a=501, doc_b=502)]
+    pairs = spark.createDataFrame(chain + other)
+    out = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(None, pairs=pairs).collect()}
+    assert all(out[i] == 100 for i in range(100, 124))
+    assert all(out[i] == 500 for i in (500, 501, 502))
+
+
 def test_pdf_payloads_are_wellformed(spark):
     """The synthesized PDF column must satisfy INDEPENDENT structural
     checks (startxref points at the xref table, every xref offset
