@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from simple_html_parser_spark.kernel.extract import MAIN_CONTENT
 from simple_html_parser_spark.operators import curation as CU
 from simple_html_parser_spark.runtime import streaming as ST
+from simple_html_parser_spark.operators import charset as CS
 from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
@@ -60,7 +61,7 @@ from simple_html_parser_spark.sources.documents import (
     CONTACT_MOD, CRAWL_REFETCH_MOD, WARC_DOC_BLOCK, load_crawl,
     load_warc, with_contacts,
     load_documents, load_documents_variant, load_table,
-    render_pdf, render_png, render_wav,
+    render_charset, render_pdf, render_png, render_wav,
 )
 
 # ---------------------------------------------------------------------------
@@ -516,6 +517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "part"),
         load_table(spark, sf, "supplier"),
         load_table(spark, sf, "lineitem"))
+
+    # ---- charset sniffing (byte→string tier, r4) ----
+    # four closed-form byte encodings (BOM'd utf-8/utf-16le,
+    # meta-labelled iso-8859-1, unlabelled utf-8); n_chars pins the
+    # DECODE, not just the label (utf-16 misread as utf-8 would
+    # roughly double the length)
+    q["charset_sniff"] = lambda spark, sf: CS.detect_charset(
+        render_charset(_raw_docs(spark, sf)))
     return q
 
 
@@ -1682,4 +1691,35 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    # charset sniff: the four byte encodings are closed-form in
+    # doc_id % 4 (sources/documents.render_charset); decoded length =
+    # length of the rebuilt page STRING (ascii-sanitized text encodes
+    # losslessly in every variant; BOMs are stripped before decode)
+    o["charset_sniff"] = """
+        WITH c AS (
+            SELECT doc_id, source,
+                   regexp_replace(text, '[^ -~]', '', 'g') AS atext,
+                   doc_id % 4 AS m
+            FROM documents)
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#charset') AS url,
+               CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                      WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END
+                   AS encoding,
+               CASE m WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+                      WHEN 2 THEN 'meta' ELSE 'default' END
+                   AS enc_source,
+               CAST(length(CASE WHEN m = 3 THEN
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><p>' || atext
+                   || '</p></body></html>'
+               ELSE
+                   '<html><head><meta charset="'
+                   || (CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                            ELSE 'iso-8859-1' END)
+                   || '"><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><p>' || atext
+                   || '</p></body></html>'
+               END) AS BIGINT) AS n_chars
+        FROM c"""
     return o

@@ -60,12 +60,27 @@ def _decode(b) -> str:
     return b if isinstance(b, str) else ""
 
 
+def _decode_sniffed(b) -> str:
+    """Charset-aware decode (kernel/charset): BOM → meta prescan →
+    utf-8 default.  The opt-in byte path for crawls that are not
+    all-UTF-8; the default stays the plain utf-8 decode so the parity
+    corpus's byte counts/oracles are untouched."""
+    from ..kernel.charset import decode_html
+
+    if isinstance(b, (bytes, bytearray, memoryview)):
+        return decode_html(bytes(b))[0]
+    return b if isinstance(b, str) else ""
+
+
 # per-document node-count safety valve (10^12-doc tails contain
 # pathological pages; a capped doc becomes an error row, not an OOM)
 MAX_NODES_PER_DOC = 5_000_000
 
 
-def _make_extract_fn(profile: ExtractionProfile):
+def _make_extract_fn(profile: ExtractionProfile,
+                     sniff_charset: bool = False):
+    decode = _decode_sniffed if sniff_charset else _decode
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cols = {name: [] for name in _PA_SCHEMA.names}
         acc_bytes = 0
@@ -84,7 +99,7 @@ def _make_extract_fn(profile: ExtractionProfile):
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
             for url, raw in zip(urls, htmls):
-                html = _decode(raw)
+                html = decode(raw)
                 n_bytes = len(raw) if raw is not None else 0
                 t0 = time.perf_counter()
                 try:
@@ -123,16 +138,22 @@ def extract_documents(
     df: DataFrame,
     profile: ExtractionProfile = PARITY,
     salt_partitions: int | None = None,
+    sniff_charset: bool = False,
 ) -> DataFrame:
     """documents(url, html, ...) → extracted(url, extracted_text, spans,
     stats).  Column pruning to (url, html) happens here so it reaches
     the scan; ``salt_partitions`` forces an explicit pre-UDF exchange on
     the (unique) url so giant pages spread across tasks instead of
-    clustering in input-file order."""
+    clustering in input-file order.  ``sniff_charset`` switches the
+    byte→string step from plain utf-8 to the BOM/meta-prescan sniffer
+    (kernel/charset) — the path for real crawls, where UTF-16 exports
+    and meta-labelled 8-bit pages exist."""
     pruned = df.select("url", "html")
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
-    return pruned.mapInArrow(_make_extract_fn(profile), EXTRACT_SCHEMA)
+    return pruned.mapInArrow(
+        _make_extract_fn(profile, sniff_charset=sniff_charset),
+        EXTRACT_SCHEMA)
 
 
 def extract_main_content(df: DataFrame, **kw) -> DataFrame:

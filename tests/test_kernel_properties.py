@@ -211,3 +211,56 @@ def test_pdf_adversarial_kids_cycle_and_flate_bomb():
                     + b" >>\nstream\n" + c1 + b"\nendstream\n"))
     deep = b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
     assert parse_pdf_pages(deep)[0][1] == "x"
+
+
+def test_charset_sniffer_tiers():
+    """BOM beats meta beats default; unknown labels fall back to
+    latin-1; the meta prescan stops at 1024 bytes; decode survives
+    arbitrary garbage (errors=replace, never raises)."""
+    from simple_html_parser_spark.kernel.charset import (
+        PRESCAN_BYTES, decode_html, sniff_charset,
+    )
+
+    page = '<html><head><meta charset="iso-8859-1"></head>x</html>'
+    # BOM wins even when a meta label disagrees
+    assert sniff_charset(b"\xef\xbb\xbf" + page.encode()) == \
+        ("utf-8", "bom")
+    assert sniff_charset(b"\xff\xfe" + page.encode("utf-16-le")) == \
+        ("utf-16le", "bom")
+    assert sniff_charset(b"\xfe\xff" + page.encode("utf-16-be")) == \
+        ("utf-16be", "bom")
+    # meta tier, both syntaxes
+    assert sniff_charset(page.encode()) == ("iso-8859-1", "meta")
+    legacy = (b'<meta http-equiv="Content-Type" '
+              b'content="text/html; charset=windows-1252">')
+    assert sniff_charset(legacy) == ("windows-1252", "meta")
+    # meta PAST the prescan window is ignored -> default
+    far = b" " * PRESCAN_BYTES + page.encode()
+    assert sniff_charset(far) == ("utf-8", "default")
+    # decode round-trips: utf-16le bytes come back as the same string
+    text, enc, src = decode_html(b"\xff\xfe" + page.encode("utf-16-le"))
+    assert (text, enc, src) == (page, "utf-16le", "bom")
+    # latin-1 decode of a 0xE9 byte under the meta label
+    t2, e2, _ = decode_html(
+        b'<meta charset="iso-8859-1">caf\xe9')
+    assert t2.endswith("café") and e2 == "iso-8859-1"
+    # unknown label -> latin-1 fallback, never an exception
+    t3, e3, s3 = decode_html(b'<meta charset="klingon-8">\xff\xfe ok')
+    assert e3 == "klingon-8" and s3 == "meta" and t3.endswith(" ok")
+    # pure garbage decodes without raising
+    import os as _os
+    for _ in range(20):
+        decode_html(_os.urandom(64))
+
+
+def test_charset_meta_utf16_label_is_utf8():
+    """WHATWG rule: a meta-sourced utf-16 label maps to utf-8 — the
+    prescan could only read the label because the bytes are
+    ASCII-compatible, so the label is necessarily wrong."""
+    from simple_html_parser_spark.kernel.charset import (
+        decode_html, sniff_charset,
+    )
+
+    page = b'<meta charset="utf-16le">hello'
+    assert sniff_charset(page) == ("utf-8", "meta")
+    assert decode_html(page)[0].endswith("hello")

@@ -928,3 +928,53 @@ def test_domain_mix_rates_and_monotonicity(spark):
     hi = {r.url for r in WU.domain_mix_sample(
         crawl, weights, default_rate_bp=5000).select("url").collect()}
     assert lo < hi
+
+
+def test_extraction_sniffs_charset(spark):
+    """extract_documents(sniff_charset=True) over a UTF-16LE page
+    yields the SAME extracted text as the UTF-8 rendering of the same
+    page string; the default utf-8 path garbles it (which is why the
+    sniffer exists)."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.extraction import (
+        extract_documents,
+    )
+
+    page = ('<html><head><meta charset="utf-16le"><title>T</title>'
+            "</head><body><p>hello charset world</p></body></html>")
+    rows = [
+        Row(url="u16", html=b"\xff\xfe" + page.encode("utf-16-le")),
+        Row(url="u8", html=page.encode("utf-8")),
+    ]
+    df = spark.createDataFrame(rows)
+    sniffed = {r.url: r.extracted_text
+               for r in extract_documents(
+                   df, sniff_charset=True).collect()}
+    assert sniffed["u16"] == sniffed["u8"]
+    assert "hello charset world" in sniffed["u8"]
+    plain = {r.url: r.extracted_text
+             for r in extract_documents(df).collect()}
+    assert plain["u16"] != plain["u8"]  # utf-8 misread garbles utf-16
+    assert plain["u8"] == sniffed["u8"]  # default path unchanged
+
+
+def test_detect_charset_variants(spark):
+    """detect_charset over the synthesized 4-encoding corpus returns
+    the closed-form (encoding, source) per doc_id % 4."""
+    from simple_html_parser_spark.operators.charset import (
+        detect_charset,
+    )
+    from simple_html_parser_spark.sources.documents import (
+        render_charset,
+    )
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    out = detect_charset(render_charset(raw)).collect()
+    assert len(out) == 40
+    for r in out:
+        doc_id = int(r.url.rsplit("/", 1)[1].split("#")[0])
+        exp = [("utf-8", "bom"), ("utf-16le", "bom"),
+               ("iso-8859-1", "meta"), ("utf-8", "default")][doc_id % 4]
+        assert (r.encoding, r.enc_source) == exp, r
+        assert r.n_chars > 60
