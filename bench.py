@@ -547,9 +547,12 @@ never leak across measurements.
 
 Full-bench runs land in different host windows.  r4 ran four full
 benches on near-identical code: headline totals 53.3 / 70.6 / 91.0 /
-80.5 s, scaling efficiency 0.855 / 0.852 / 0.791 / 0.827 (five
-ALL-clean pairs each), extraction 92.9 / 64.4 / 66.2 / 81.8 MB/s at
-local[4].  Per-metric bests across runs are the engine's capability;
+80.5 / 49.1 s, scaling efficiency 0.855 / 0.852 / 0.791 / 0.827 /
+0.895 (clean-pair medians), extraction 92.9 / 64.4 / 66.2 / 81.8 /
+96.3 MB/s at local[4].  The last (committed) run is the round's best
+on every axis and FOLLOWS the tmpfs + clustering fixes — the spread
+before it is what the fixes plus host windows look like.
+Per-metric bests across runs are the engine's capability;
 any single run is a lower bound with 1-2 noise windows somewhere in
 its ~40 queries.  The r4 tmpfs move (runtime/session.py
 spark.local.dir → /dev/shm) removed the worst systematic mode —
