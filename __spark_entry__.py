@@ -525,6 +525,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # roughly double the length)
     q["charset_sniff"] = lambda spark, sf: CS.detect_charset(
         render_charset(_raw_docs(spark, sf)))
+    # end-to-end: the SAME mapInArrow extraction hot path, decoding
+    # via the sniffer — all four byte encodings of a page must
+    # extract the identical closed-form text
+    q["charset_extract"] = lambda spark, sf: (
+        extract_documents(
+            render_charset(_raw_docs(spark, sf))
+            .select("url", F.col("payload").alias("html")),
+            sniff_charset=True)
+        .select("url", "extracted_text"))
     return q
 
 
@@ -1722,4 +1731,14 @@ def oracle_sql() -> dict[str, str]:
                    || '</p></body></html>'
                END) AS BIGINT) AS n_chars
         FROM c"""
+
+    # sniffed extraction: the charset template's only extractable text
+    # is the body <p> (head/title is blacklisted) — the ASCII-sanitized
+    # text column, identical for all 4 byte encodings
+    o["charset_extract"] = """
+        SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                || '#charset') AS url,
+               regexp_replace(text, '[^ -~]', '', 'g')
+                   AS extracted_text
+        FROM documents"""
     return o
