@@ -28,8 +28,9 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel.charset import decode_html
 from ..kernel.extract import MAIN_CONTENT, PARITY, ExtractionProfile, extract
-from ..kernel.tokenizer import parse_html
+from ..kernel.tokenizer import DEFAULT_SPECIAL_TAGS, parse_html
 
 EXTRACT_SCHEMA = (
     "url string, extracted_text string, "
@@ -60,15 +61,15 @@ def _decode(b) -> str:
     return b if isinstance(b, str) else ""
 
 
-def _decode_sniffed(b) -> str:
+def _decode_sniffed(b, _decode_html=decode_html) -> str:
     """Charset-aware decode (kernel/charset): BOM → meta prescan →
-    utf-8 default.  The opt-in byte path for crawls that are not
-    all-UTF-8; the default stays the plain utf-8 decode so the parity
-    corpus's byte counts/oracles are untouched."""
-    from ..kernel.charset import decode_html
-
+    strict-utf-8 probe → cp1252 fallback.  The opt-in byte path for
+    crawls that are not all-UTF-8; the default stays the plain utf-8
+    decode so the parity corpus's byte counts/oracles are untouched.
+    decode_html is bound at def time — no per-row module lookup in
+    the mapInArrow hot loop."""
     if isinstance(b, (bytes, bytearray, memoryview)):
-        return decode_html(bytes(b))[0]
+        return _decode_html(bytes(b))[0]
     return b if isinstance(b, str) else ""
 
 
@@ -234,7 +235,11 @@ _PA_NODES = pa.schema([
 ])
 
 
-def _make_nodes_fn(max_nodes: int):
+def _make_nodes_fn(max_nodes: int,
+                   special_tags: tuple[str, ...] | None = None):
+    special = (tuple(special_tags) if special_tags is not None
+               else DEFAULT_SPECIAL_TAGS)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             urls = batch.column("url").to_pylist()
@@ -242,7 +247,8 @@ def _make_nodes_fn(max_nodes: int):
             cols = {name: [] for name in _PA_NODES.names}
             for url, raw in zip(urls, htmls):
                 try:
-                    t = parse_html(_decode(raw), max_nodes=max_nodes)
+                    t = parse_html(_decode(raw), special,
+                                   max_nodes=max_nodes)
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     # NEVER drop a document silently: at 10^12 docs a
                     # pathological page must leave a trace.  One marker
@@ -309,12 +315,18 @@ def _make_nodes_fn(max_nodes: int):
 
 
 def parse_nodes(df: DataFrame, salt_partitions: int | None = None,
-                max_nodes: int = MAX_NODES_PER_DOC) -> DataFrame:
+                max_nodes: int = MAX_NODES_PER_DOC,
+                special_tags: tuple[str, ...] | None = None) -> DataFrame:
     """documents(url, html) → one row per SOM node (FIXTURES.md §3) —
     the SQL-queryable tree view used for oracle-checked operators.
     Unparseable / over-``max_nodes`` docs yield one type='error' marker
-    row (silent data loss at 10^12 docs is not acceptable)."""
+    row (silent data loss at 10^12 docs is not acceptable).
+    ``special_tags`` is the reference constructor's only parameter
+    (`/root/reference/src/simple-html-parser.js:37`) — tags whose
+    content runs through the JS submachine instead of the tree
+    builder; default ('jhp', 's_')."""
     pruned = df.select("url", "html")
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
-    return pruned.mapInArrow(_make_nodes_fn(max_nodes), NODES_SCHEMA)
+    return pruned.mapInArrow(_make_nodes_fn(max_nodes, special_tags),
+                             NODES_SCHEMA)

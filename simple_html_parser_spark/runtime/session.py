@@ -73,7 +73,7 @@ def get_spark(
     local_dir = confs.get("spark.local.dir")
     if local_dir and local_dir.startswith("/dev/shm"):
         try:
-            _prepare_tmpfs_local_dir(local_dir)
+            confs["spark.local.dir"] = _prepare_tmpfs_local_dir(local_dir)
         except OSError:
             confs.pop("spark.local.dir")  # fall back to /tmp
 
@@ -84,20 +84,43 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def _prepare_tmpfs_local_dir(root: str) -> None:
-    """Create the tmpfs local-dir root; purge subdirs older than 6h
-    (leaked by killed sessions — tmpfs files are RAM until reboot)."""
+def _prepare_tmpfs_local_dir(root: str) -> str:
+    """Per-PID tmpfs local dir: each driver gets `root/pid-<pid>`, and
+    startup purges sibling `pid-*` dirs whose owning process is DEAD
+    (kill -9 leaks RAM-backed shuffle files until reboot).  Liveness,
+    not mtime, decides — a long-lived concurrent session with a stale
+    blockmgr mtime keeps its live shuffle dirs.  Pre-PID-scheme leaked
+    dirs (no pid- prefix) still fall back to a 6h mtime purge."""
     import shutil
     import time
 
     os.makedirs(root, exist_ok=True)
     cutoff = time.time() - 6 * 3600
     for entry in os.scandir(root):
-        try:
-            if entry.is_dir() and entry.stat().st_mtime < cutoff:
-                shutil.rmtree(entry.path, ignore_errors=True)
-        except OSError:
+        if not entry.is_dir():
             continue
+        try:
+            if entry.name.startswith("pid-"):
+                pid = int(entry.name[4:])
+                if pid != os.getpid() and not _pid_alive(pid):
+                    shutil.rmtree(entry.path, ignore_errors=True)
+            elif entry.stat().st_mtime < cutoff:
+                shutil.rmtree(entry.path, ignore_errors=True)
+        except (OSError, ValueError):
+            continue
+    mine = os.path.join(root, f"pid-{os.getpid()}")
+    os.makedirs(mine, exist_ok=True)
+    return mine
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it
 
 
 def _parallelism_of(master: str) -> int | None:

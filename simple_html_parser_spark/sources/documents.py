@@ -670,8 +670,9 @@ def render_html_heavy(docs: DataFrame, paras: int = 40) -> DataFrame:
 
 
 # --- charset-variant corpus (byte→string sniffing, kernel/charset) --------
-# Four closed-form encodings keyed on doc_id % 4 — BOM'd UTF-8, BOM'd
-# UTF-16LE, meta-labelled ISO-8859-1, and unlabelled UTF-8 — over an
+# Five closed-form encodings keyed on doc_id % 5 — BOM'd UTF-8, BOM'd
+# UTF-16LE, meta-labelled ISO-8859-1, unlabelled UTF-8, and
+# unlabelled cp1252 (strict-utf-8-probe fallback tier) — over an
 # ASCII-sanitized text (ASCII ⊂ every variant, so the decoded STRING
 # is identical across variants and the oracle can rebuild it in SQL).
 # LOAD-BEARING for the charset_sniff oracle in __spark_entry__.
@@ -688,32 +689,41 @@ CHARSET_TPL_NOMETA = (
 
 def render_charset(docs: DataFrame) -> DataFrame:
     """(doc_id, text, source, …) → (doc_id, url, payload binary):
-    pages in four byte encodings, selected by doc_id % 4:
+    pages in five byte encodings, selected by doc_id % 5:
 
       0: UTF-8 with BOM (meta also says utf-8 — BOM wins)
       1: UTF-16LE with BOM (meta label present but BOM wins)
       2: ISO-8859-1, labelled ONLY by the meta tag
-      3: unlabelled UTF-8 (sniffer default tier)
+      3: unlabelled UTF-8 (sniffer default tier: strict probe passes)
+      4: unlabelled cp1252 with a non-ASCII ' café' suffix — the
+         0xE9 byte fails the strict utf-8 probe, so the sniffer's
+         WHATWG fallback tier (windows-1252) must fire
 
     Text is ASCII-sanitized JVM-side so every variant encodes the
     SAME string (ASCII bytes are identical in utf-8/latin-1 and map
-    1:1 into UTF-16LE) — the decoded output is closed-form."""
+    1:1 into UTF-16LE; é is byte 0xE9 in BOTH latin-1 and cp1252, so
+    the ISO-8859-1 encoder below produces valid cp1252) — the decoded
+    output is closed-form."""
     ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    mod = F.col("doc_id") % 5
     page_meta = F.format_string(
         CHARSET_TPL,
-        F.when(F.col("doc_id") % 4 == 0, F.lit("utf-8"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("utf-16le"))
+        F.when(mod == 0, F.lit("utf-8"))
+        .when(mod == 1, F.lit("utf-16le"))
         .otherwise(F.lit("iso-8859-1")),
         F.col("doc_id").cast("string"), ascii_text)
     page_plain = F.format_string(
         CHARSET_TPL_NOMETA, F.col("doc_id").cast("string"), ascii_text)
-    mod = F.col("doc_id") % 4
+    page_cafe = F.format_string(
+        CHARSET_TPL_NOMETA, F.col("doc_id").cast("string"),
+        F.concat(ascii_text, F.lit(" café")))
     payload = (
         F.when(mod == 0, F.concat(F.lit(b"\xef\xbb\xbf"),
                                   F.encode(page_meta, "UTF-8")))
         .when(mod == 1, F.concat(F.lit(b"\xff\xfe"),
                                  F.encode(page_meta, "UTF-16LE")))
         .when(mod == 2, F.encode(page_meta, "ISO-8859-1"))
+        .when(mod == 4, F.encode(page_cafe, "ISO-8859-1"))
         .otherwise(F.encode(page_plain, "UTF-8"))
     )
     return docs.select(

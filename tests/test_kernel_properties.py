@@ -253,6 +253,40 @@ def test_charset_sniffer_tiers():
         decode_html(_os.urandom(64))
 
 
+def test_charset_fallback_and_comment_prescan():
+    """Tier 3: an unlabelled page that fails the strict utf-8 probe
+    decodes as windows-1252 (source 'fallback'); clean ASCII/utf-8
+    stays 'default'.  A charset label inside an HTML comment is
+    skipped by the prescan (WHATWG steps over comment spans)."""
+    from simple_html_parser_spark.kernel.charset import (
+        decode_html, sniff_charset,
+    )
+
+    # unlabelled cp1252: 0xE9 is invalid utf-8 -> fallback tier
+    raw = b"<html><body><p>caf\xe9</p></body></html>"
+    assert sniff_charset(raw) == ("windows-1252", "fallback")
+    text, enc, src = decode_html(raw)
+    assert (enc, src) == ("windows-1252", "fallback")
+    assert "café" in text
+    # cp1252-specific high bytes (not latin-1): 0x93/0x94 curly quotes
+    t_q, e_q, _ = decode_html(b"<p>\x93ok\x94</p>")
+    assert "“ok”" in t_q and e_q == "windows-1252"
+    # unlabelled clean utf-8 (incl. multibyte) stays the default tier
+    assert sniff_charset("<p>café</p>".encode()) == ("utf-8", "default")
+    assert decode_html("<p>café</p>".encode())[0] == "<p>café</p>"
+    # a commented-out meta label must NOT win the prescan
+    commented = (b'<!-- <meta charset="shift_jis"> -->'
+                 b"<html><body>x</body></html>")
+    assert sniff_charset(commented) == ("utf-8", "default")
+    # ...but a real label AFTER a comment still does
+    after = (b"<!-- banner -->"
+             b'<meta charset="iso-8859-1"><body>x</body>')
+    assert sniff_charset(after) == ("iso-8859-1", "meta")
+    # unterminated comment swallows the rest of the prescan window
+    unterm = b'<!-- <meta charset="big5"> <body>caf\xe9'
+    assert sniff_charset(unterm) == ("windows-1252", "fallback")
+
+
 def test_charset_meta_utf16_label_is_utf8():
     """WHATWG rule: a meta-sourced utf-16 label maps to utf-8 — the
     prescan could only read the label because the bytes are

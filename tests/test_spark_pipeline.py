@@ -960,8 +960,8 @@ def test_extraction_sniffs_charset(spark):
 
 
 def test_detect_charset_variants(spark):
-    """detect_charset over the synthesized 4-encoding corpus returns
-    the closed-form (encoding, source) per doc_id % 4."""
+    """detect_charset over the synthesized 5-encoding corpus returns
+    the closed-form (encoding, source) per doc_id % 5."""
     from simple_html_parser_spark.operators.charset import (
         detect_charset,
     )
@@ -972,9 +972,36 @@ def test_detect_charset_variants(spark):
     raw = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
     out = detect_charset(render_charset(raw)).collect()
     assert len(out) == 40
+    seen_fallback = 0
     for r in out:
         doc_id = int(r.url.rsplit("/", 1)[1].split("#")[0])
         exp = [("utf-8", "bom"), ("utf-16le", "bom"),
-               ("iso-8859-1", "meta"), ("utf-8", "default")][doc_id % 4]
+               ("iso-8859-1", "meta"), ("utf-8", "default"),
+               ("windows-1252", "fallback")][doc_id % 5]
         assert (r.encoding, r.enc_source) == exp, r
         assert r.n_chars > 60
+        seen_fallback += r.enc_source == "fallback"
+    assert seen_fallback >= 4  # the cp1252 tier actually fired
+
+
+def test_extraction_cp1252_twin(spark):
+    """An unlabelled cp1252 page (é = 0xE9, invalid utf-8) extracts
+    byte-identically to its unlabelled utf-8 twin through the real
+    sniffed mapInArrow hot path — the WHATWG fallback tier end-to-end."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.extraction import (
+        extract_documents,
+    )
+
+    page = ("<html><head><title>T</title></head>"
+            "<body><p>naïve café résumé</p></body></html>")
+    rows = [
+        Row(url="cp1252", html=page.encode("cp1252")),
+        Row(url="u8", html=page.encode("utf-8")),
+    ]
+    out = {r.url: r.extracted_text
+           for r in extract_documents(
+               spark.createDataFrame(rows), sniff_charset=True).collect()}
+    assert out["cp1252"] == out["u8"]
+    assert "naïve café résumé" in out["u8"]
