@@ -289,6 +289,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parse_nodes(load_documents_variant(spark, sf, "special"))
         .where(F.col("node_id").isin(4, 5, 6, 7, 10, 13))
         .select("url", "node_id", "type", "comment_type", "content"))
+    # the reference constructor's ONLY parameter
+    # (src/simple-html-parser.js:37): the SAME special page parsed
+    # with special_tags=('script',) — jhp becomes a normal tag (its
+    # '<' splits the content, T3 rescue) while script now runs the JS
+    # submachine (text + line-comment tokens).  Full per-node map +
+    # contents, kernel-derived and reference-verified (ref_dump with
+    # special_tags=['script'] matches the kernel dump byte-for-byte).
+    q["special_tags_config"] = lambda spark, sf: (
+        parse_nodes(load_documents_variant(spark, sf, "special"),
+                    special_tags=("script",))
+        .select("url", "node_id", "bfs_rank", "depth", "subtree_end",
+                "type", "name", "comment_type", "content"))
     q["voids_attrs"] = lambda spark, sf: (
         parse_nodes(load_documents_variant(spark, sf, "voids"))
         .where(F.col("name").isin("img", "input"))
@@ -534,7 +546,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url", F.col("payload").alias("html")),
             sniff_charset=True)
         .select("url", "extracted_text"))
-    return q
+
+    # ---- r5 driver window (the driver's CORRECTNESS file covers the
+    # FIRST 50 registrations in insertion order) ----
+    # Rotation policy (ADVICE r4): external coverage cycles — every
+    # query that has never (or least recently) had a driver row goes
+    # in-window, displacing multiply-verified rows.  In-window r5:
+    #   * §2 parser core (27, incl. the NEW special_tags_config) —
+    #     kernel code changes every round, keep it externally pinned;
+    #   * charset_sniff/extract (never driver-green; r4 flagship +
+    #     this round's cp1252 fallback tier);
+    #   * curation_pipeline (last green r2; the r4 bench ×1.9 A/B
+    #     target) + dedup_clusters/dedup_simhash/curate_web (embed the
+    #     clustering internals touched this round);
+    #   * last-green-r2 block: embedding_srp_lsh, lang_distribution,
+    #     repetition_stats, audio_features_stub, frame_sample,
+    #     q1_pricing, q3_top_orders (relational family had no row
+    #     since r2);
+    #   * last-green-r3 block: crawl_delta/domain_mix/domain_quota/
+    #     domain_sample;
+    #   * single-green-r4 block: ann_kmeans_topk, image_features,
+    #     audio_features, pdf_text_extract, stream_windowed_metrics,
+    #     stream_first_seen_dedup.
+    # Rotated OUT (all driver-green in BOTH r3 and r4, or ≥2 rounds):
+    # dedup_exact/ngram_jaccard/minhash_lsh, simhash_signatures,
+    # shingle_drop_stats, dedup_lines, decontaminate, pii_scrub,
+    # oov_stats, warc_records/extract, crawl_url_parse/dedup_latest/
+    # domain_stats/blocklist, sim_topk(r1-3), ann_ivf_topk(r1-3),
+    # embedding_dedup(r1-2), token_stats, quality_score,
+    # doc_fingerprint, lang_id, clean_text, binary_meta,
+    # image_features_stub, events_topk, part_shipped.
+    _R5_WINDOW = [
+        "extract_parity", "extract_main_content", "extract_stats",
+        "nodes_type_counts", "nodes_tag_counts", "doc_links",
+        "doc_comments", "css_rule_selectors", "nodes_structure_map",
+        "sql_qsa_descendant", "sql_qsa_class", "sql_attr_count",
+        "deep_text_nodes", "voids_structure_map",
+        "special_structure_map", "malformed_structure_map",
+        "special_js_tokens", "special_tags_config", "voids_attrs",
+        "kernel_query_api", "kernel_iterator_api", "css_query_api",
+        "css_serialize_api", "doc_serialize_api", "doc_visualize",
+        "doc_edit_pipeline", "doc_roundtrip",
+        "charset_sniff", "charset_extract",
+        "curation_pipeline", "dedup_clusters", "dedup_simhash",
+        "curate_web",
+        "embedding_srp_lsh", "lang_distribution", "repetition_stats",
+        "audio_features_stub", "frame_sample",
+        "crawl_delta", "crawl_domain_mix", "crawl_domain_quota",
+        "crawl_domain_sample",
+        "ann_kmeans_topk", "image_features", "audio_features",
+        "pdf_text_extract", "stream_windowed_metrics",
+        "stream_first_seen_dedup",
+        "q1_pricing", "q3_top_orders",
+    ]
+    assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+    assert all(k in q for k in _R5_WINDOW), \
+        [k for k in _R5_WINDOW if k not in q]
+    return {k: q[k] for k in _R5_WINDOW} | \
+        {k: v for k, v in q.items() if k not in _R5_WINDOW}
 
 
 def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -687,6 +756,41 @@ def oracle_sql() -> dict[str, str]:
             (6, 'comment', 'js-multi-line'), (7, 'text', NULL),
             (10, 'text', NULL), (13, 'text', NULL)
         ) AS v(node_id, type, comment_type)"""
+
+    # same page under special_tags=('script',): jhp is now a NORMAL
+    # tag whose '<' (in 'x < 2') triggers the T3 rescue split; script
+    # runs the JS submachine (code text + '// tail' line comment).
+    # Map + contents kernel-derived, reference-verified (ref_dump.mjs
+    # with special_tags=['script']).
+    o["special_tags_config"] = f"""
+        SELECT {_v_url['special']} AS url, v.node_id, v.bfs_rank,
+               v.depth, v.subtree_end, v.type, v.name, v.comment_type,
+               CASE v.node_id
+                 WHEN 4 THEN 'var x = ' || CAST(doc_id AS VARCHAR)
+                     || '; // note ' || source || chr(10)
+                     || '/* c */ if (x '
+                 WHEN 5 THEN '< 2) {{ x = x + 1; }}'
+                 WHEN 8 THEN 'let s = "' || lang || '"; '
+                 WHEN 9 THEN ' tail'
+                 WHEN 12 THEN text
+                 ELSE ''
+               END AS content
+        FROM documents, (VALUES
+            (0,0,0,15,'root','',NULL),(1,1,1,14,'tag-open','html',NULL),
+            (2,3,2,13,'tag-open','body',NULL),
+            (3,5,3,5,'tag-open','jhp',NULL),
+            (4,11,4,4,'text','',NULL),(5,12,4,5,'text','',NULL),
+            (6,6,3,6,'tag-close','jhp',NULL),
+            (7,7,3,9,'tag-open','script',NULL),
+            (8,13,4,8,'text','',NULL),
+            (9,14,4,9,'comment','','js-single-line'),
+            (10,8,3,10,'tag-close','script',NULL),
+            (11,9,3,12,'tag-open','p',NULL),(12,15,4,12,'text','',NULL),
+            (13,10,3,13,'tag-close','p',NULL),
+            (14,4,2,14,'tag-close','body',NULL),
+            (15,2,1,15,'tag-close','html',NULL)
+        ) AS v(node_id, bfs_rank, depth, subtree_end, type, name,
+               comment_type)"""
 
     o["voids_attrs"] = f"""
         SELECT {_v_url['voids']} AS url, v.name,
@@ -1700,27 +1804,32 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
-    # charset sniff: the four byte encodings are closed-form in
-    # doc_id % 4 (sources/documents.render_charset); decoded length =
+    # charset sniff: the five byte encodings are closed-form in
+    # doc_id % 5 (sources/documents.render_charset); decoded length =
     # length of the rebuilt page STRING (ascii-sanitized text encodes
-    # losslessly in every variant; BOMs are stripped before decode)
+    # losslessly in every variant; BOMs are stripped before decode;
+    # variant 4's ' café' suffix survives the cp1252 fallback decode
+    # char-for-char because 0xE9 = é in cp1252)
     o["charset_sniff"] = """
         WITH c AS (
             SELECT doc_id, source,
                    regexp_replace(text, '[^ -~]', '', 'g') AS atext,
-                   doc_id % 4 AS m
+                   doc_id % 5 AS m
             FROM documents)
         SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
                 || '#charset') AS url,
                CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
-                      WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END
+                      WHEN 2 THEN 'iso-8859-1'
+                      WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END
                    AS encoding,
                CASE m WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
-                      WHEN 2 THEN 'meta' ELSE 'default' END
+                      WHEN 2 THEN 'meta'
+                      WHEN 4 THEN 'fallback' ELSE 'default' END
                    AS enc_source,
-               CAST(length(CASE WHEN m = 3 THEN
+               CAST(length(CASE WHEN m >= 3 THEN
                    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
                    || '</title></head><body><p>' || atext
+                   || (CASE WHEN m = 4 THEN ' café' ELSE '' END)
                    || '</p></body></html>'
                ELSE
                    '<html><head><meta charset="'
@@ -1734,11 +1843,13 @@ def oracle_sql() -> dict[str, str]:
 
     # sniffed extraction: the charset template's only extractable text
     # is the body <p> (head/title is blacklisted) — the ASCII-sanitized
-    # text column, identical for all 4 byte encodings
+    # text column, identical for all 5 byte encodings except variant
+    # 4's ' café' fallback marker
     o["charset_extract"] = """
         SELECT ('doc://' || source || '/' || CAST(doc_id AS VARCHAR)
                 || '#charset') AS url,
                regexp_replace(text, '[^ -~]', '', 'g')
-                   AS extracted_text
+                   || (CASE WHEN doc_id % 5 = 4 THEN ' café'
+                       ELSE '' END) AS extracted_text
         FROM documents"""
     return o

@@ -41,9 +41,12 @@ BENCH_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "8"))
 # is small vs the high-side wall, but runs short enough that one
 # lo+hi pair fits inside a single host-noise window (the host has
 # multi-minute interference windows; a pair that straddles one gets a
-# garbage ratio).  mult=8 at sf0.1 → ~40 s per pair (lo ~30s, hi ~8s),
-# overhead <13% of the hi wall.
-SCALING_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "8"))
+# garbage ratio).  mult=24 at sf0.1 → 1-core wall ≥60s (the CLAUDE.md
+# floor: below it the fixed cost is ~15% of the 4-core side and caps
+# the measurable ratio — the r4 driver run's 0.78-0.81 spread), hi
+# side ~18-22s → fixed cost ≤6% of the hi wall; a pair is ~90s, still
+# inside the typical multi-minute quiet window.
+SCALING_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "24"))
 # paragraphs per bench page (~12-15 KB pages at sf0.1 text lengths)
 BENCH_PARAS = int(os.environ.get("SPARK_GRAFT_BENCH_PARAS", "40"))
 
