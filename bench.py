@@ -546,6 +546,26 @@ pipeline sees.  bench.py's min-of-trials records the warm number;
 per-query hygiene still clears between DIFFERENT queries so caches
 never leak across measurements.
 
+### The curation_pipeline ×1.9 driver delta (r4 8.31s vs r3 4.37s): named and fixed
+
+Controlled A/B at sf0.1 local[32] (r5, tools/ab_curation.py, 4 trials
+per arm, Spark-free host controls around every trial).  PRE-fix code
+(r4): curation_pipeline warm steady state 10.1s on a CLEAN window
+(walls 41.8/23.6/10.2/10.1 after warmup), dedup_clusters alone warm
+3.7s — so the r4-committed 4.19s was a favorable cache state, and the
+driver's 8.31s was REAL, not a host window.  Mechanism: the r4
+pointer-jumping loop ran TWO full jobs per round — the checkpoint
+materialization AND a convergence count that shuffle-joined the new
+label frame against the old one.  r5 fix (operators/dedup.py): the
+round-start label rides through the round's joins as a `prev` column,
+so convergence is an isEmpty() take(1) probe on the just-checkpointed
+partitions — no second shuffle.  POST-fix, same protocol:
+curation_pipeline cold 7.3s (clean window; pre-fix 10.9s), warm
+steady state 3.76s; dedup_clusters cold 5.8s / warm 2.6s.  The
+pointer-jump shortcut itself costs ~0.6s cold (nojump 5.2s vs jump
+5.8s) and is kept: chain-shaped components need its O(log d)
+convergence (the 24-node-path regression test).
+
 ### Run-to-run spread: read BENCH/history.jsonl, not one run
 
 Full-bench runs land in different host windows.  r4 ran four full

@@ -438,6 +438,7 @@ def dedup_clusters(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     max_shingle_df: int | str | None = None, max_iters: int = 80,
     pairs: DataFrame | None = None, source: str = "lsh",
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph →
     (doc_id, cluster_id) where cluster_id = min doc_id in the
@@ -465,7 +466,19 @@ def dedup_clusters(
     pointer jump the reach grows geometrically, so 80 steps = 40
     rounds ≈ reach 2^40 — covers a pathological single-chain
     component over the full 10^12-doc corpus.  Typical LSH near-dup
-    components are near-cliques: the loop exits after ONE round."""
+    components are near-cliques: the loop exits after ONE round.
+
+    Convergence is read off the materialized frame itself: the
+    round-start label rides through the round's joins as a ``prev``
+    column, so detecting a fixpoint is an ``isEmpty()`` scan of the
+    just-checkpointed partitions (early-exit take(1)) — NOT a shuffle
+    join of the new label frame against the old one, which was the
+    second full job per round until r5 (the r5 A/B on this exact
+    query: see BENCH/BASELINE.md §curation_pipeline).
+
+    ``pointer_jump=False`` disables the per-round shortcut self-join
+    (A/B instrumentation; near-clique graphs converge identically
+    without it, chain graphs need it)."""
     if pairs is None:
         fn = dedup_ngram_jaccard if source == "exact" else dedup_minhash_lsh
         pairs = fn(docs, n=n, threshold=threshold,
@@ -484,7 +497,8 @@ def dedup_clusters(
         .localCheckpoint()
     )
     def step(cur: DataFrame) -> DataFrame:
-        # propagate: new label = min(own, min over neighbours' labels)
+        # propagate: new label = min(own, min over neighbours' labels);
+        # the round-start 'prev' column rides along untouched
         neigh = (
             edges.join(cur, edges.doc_b == cur.doc_id)
             .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
@@ -496,7 +510,8 @@ def dedup_clusters(
                 F.least(
                     cur.cluster_id,
                     F.coalesce("nmin", cur.cluster_id)
-                ).alias("cluster_id"))
+                ).alias("cluster_id"),
+                cur.prev)
         )
 
     def shortcut(cur: DataFrame) -> DataFrame:
@@ -520,27 +535,30 @@ def dedup_clusters(
                     F.col("l1.cluster_id"),
                     F.coalesce(F.col("l2.cluster_id"),
                                F.col("l1.cluster_id"))
-                ).alias("cluster_id"))
+                ).alias("cluster_id"),
+                F.col("l1.prev").alias("prev"))
         )
 
     cur = labels
-    for it in range(max_iters):
-        cur = step(cur)
-        if it % 2 == 1 or it == max_iters - 1:
-            # one shortcut jump, then truncate lineage: the next round
-            # builds on materialized partitions, not a plan tree with
-            # every prior join
-            cur = shortcut(cur).localCheckpoint()
-            changed = (
-                cur.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            labels = cur
-            if changed == 0:
-                break
-    return labels
+    steps_done = 0
+    while steps_done < max_iters:
+        r = cur.withColumn("prev", F.col("cluster_id"))
+        r = step(r)
+        steps_done += 1
+        if steps_done < max_iters:
+            r = step(r)
+            steps_done += 1
+        if pointer_jump:
+            r = shortcut(r)
+        # one materialization job per round, then a fixpoint probe on
+        # the checkpointed partitions (no second shuffle join)
+        mat = r.localCheckpoint()
+        converged = mat.where(
+            F.col("cluster_id") != F.col("prev")).isEmpty()
+        cur = mat.select("doc_id", "cluster_id")
+        if converged:
+            break
+    return cur
 
 
 # --- line-level (CCNet-style) dedup ---------------------------------------

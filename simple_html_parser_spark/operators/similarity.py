@@ -118,17 +118,43 @@ def _sq_l2(a: Column, b: Column) -> Column:
         F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def _cent_row(cents: DataFrame) -> DataFrame:
+    """All k centroids folded into ONE row (cs array<struct<cid,c>>) —
+    k is a parameter (≤ ~10^4 cells even at 10^12 vectors), so the
+    single row stays broadcast-sized."""
+    return cents.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
+
+
+def _argmin_cid(qe: Column, cs: Column) -> Column:
+    """Nearest-centroid id as a PER-ROW fold over the broadcast
+    centroid array: min by (squared-L2, cid) — identical tie rule to
+    the former min(struct(d, cid)) aggregation, but with NO groupBy:
+    assignment is map-only, so the corpus never shuffles to learn its
+    cell (r4 plan audit showed the groupBy exchange; at 10^12 vectors
+    that exchange IS the job).  ``F.least`` on the (d, cid) struct
+    compares lexicographically and evaluates the candidate struct
+    once per centroid — no repeated-HOF re-evaluation (the Catalyst
+    CSE trap a 3-way comparison would hit)."""
+    init = F.struct(
+        F.lit(1 << 62).cast("bigint").alias("d"),
+        F.lit(-1).cast("bigint").alias("cid"))
+    best = F.aggregate(
+        cs, init,
+        lambda acc, s: F.least(acc, F.struct(
+            _sq_l2(qe, s["c"]).alias("d"), s["cid"].alias("cid"))))
+    return best["cid"]
+
+
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest centroid by squared L2 on the quantized
-    grid, ties to the smallest cid — one broadcast of the k-row
-    centroid frame, min-of-struct aggregation (no window)."""
-    d = _sq_l2(F.col("qe"), F.col("c"))
+    """v(vec_id, qe, …) → same columns + cid: nearest centroid by
+    squared L2 on the quantized grid, ties to the smallest cid.  One
+    1-row broadcast crossJoin + a per-row fold — zero exchanges on the
+    corpus side; extra input columns (e.g. the raw embedding) ride
+    along for the caller."""
+    keep = [c for c in v.columns]
     return (
-        v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", d.alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cid"))
+        v.crossJoin(F.broadcast(_cent_row(cents)))
+        .select(*keep, _argmin_cid(F.col("qe"), F.col("cs")).alias("cid"))
     )
 
 
@@ -146,9 +172,11 @@ def kmeans_centroids(
     cents = (v.where(F.col("vec_id") < n_clusters)
              .select(F.col("vec_id").alias("cid"), F.col("qe").alias("c")))
     for _ in range(iters):
-        asg = _assign(v, cents)
+        # map-only assign carries qe through, so the update needs NO
+        # corpus self-join on vec_id (pre-r5 shape: assign → groupBy
+        # vec_id → join back — two corpus exchanges per sweep)
         cents = (
-            v.join(asg, "vec_id")
+            _assign(v, cents)
             .select("cid", F.posexplode("qe").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.floor(F.sum("val").cast("double") / F.count("*"))
@@ -180,11 +208,16 @@ def ann_kmeans_topk(
         cents.select("cid", _sq_l2(F.col("c"), qq).alias("d"))
         .orderBy("d", "cid").limit(nprobe).select("cid")
     )
-    v = embeddings.select("vec_id", _quant(F.col("embedding")).alias("qe"))
-    member = _assign(v, cents).join(F.broadcast(probed), "cid", "left_semi")
+    # the raw embedding rides through the map-only assign, so probing
+    # is scan → per-row argmin → broadcast semi-join → top-k: ZERO
+    # corpus exchanges (pre-r5: assignment groupBy + a corpus-scale
+    # SortMergeJoin semi back against the embeddings scan)
+    va = embeddings.select("vec_id", "embedding",
+                           _quant(F.col("embedding")).alias("qe"))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        embeddings.join(member.select("vec_id"), "vec_id", "left_semi")
+        _assign(va, cents)
+        .join(F.broadcast(probed), "cid", "left_semi")
         .select("vec_id", cosine_sim(F.col("embedding"), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)

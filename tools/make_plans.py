@@ -160,6 +160,28 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "deterministic md5-bucket sample is a pure filter: no exchange, "
      "no Python stage",
      [], ["Exchange", "MapInArrow", "MapInPandas"]),
+    ("charset_extract",
+     "byte→string sniff + extraction stays ONE Arrow stage: the "
+     "5-encoding payload render is a codegen projection feeding the "
+     "same single MapInArrow hot path (sniff_charset=True), no "
+     "exchange anywhere",
+     ["MapInArrow"], ["Exchange", "MapInPandas"]),
+    ("ann_kmeans_topk",
+     "learned-IVF probe with ZERO corpus exchanges: cell assignment "
+     "is a per-row fold over the 1-row broadcast centroid frame "
+     "(BroadcastNestedLoopJoin Cross of ONE row — not a corpus "
+     "shuffle), probed cells arrive via BroadcastHashJoin LeftSemi, "
+     "top-k via TakeOrderedAndProject; the only Exchange in the plan "
+     "is the k-row centroid aggregation itself",
+     ["BroadcastNestedLoopJoin Cross", "BroadcastHashJoin LeftSemi",
+      "TakeOrderedAndProject"], ["SortMergeJoin"]),
+    ("dedup_clusters",
+     "connected components converge INSIDE the checkpointed loop: "
+     "the returned label frame is a projection of the final "
+     "localCheckpoint RDD — no join, exchange, or Python stage "
+     "survives into the consumer-visible plan (curation pipelines "
+     "compose against materialized partitions)",
+     ["Scan ExistingRDD"], ["Join", "Exchange", "MapInArrow"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
