@@ -45,6 +45,18 @@ ATTR_PATTERN = re.compile(
 # /[a-zA-Z0-9_\-]/ single-char tag-name validity (simple-html-parser.js:8).
 VALID_TAG_CHAR = re.compile(r"[a-zA-Z0-9_\-]")
 
+# Tag-start dispatch set for the tokenizer hot loop: after '<', any of
+# these chars means NOT the non-tag rescue (valid tag-name chars plus
+# '/' close-tag and '!' markup-decl prefixes).  Equivalent to the
+# reference's `=== '<' || === ' ' || (!'/' && !'!' && !validTagName)`
+# test (simple-html-parser.js:80-83) — '<' and ' ' are not valid tag
+# chars, so the explicit checks there are redundant — but ONE frozenset
+# lookup instead of up to 4 compares + a C regex call per tag (r5
+# kernel A/B).
+TAG_START_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789_-/!")
+
 # /[\(\[{,;=:&|!?]/ JS regex-literal context (simple-html-parser.js:7).
 JS_REGEX_CONTEXT = frozenset("([{,;=:&|!?")
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from .cssparser import parse_css_into
 from .jsre import (
-    ATTR_PATTERN, JS_REGEX_CONTEXT, VALID_TAG_CHAR, WS_PLUS,
+    ATTR_PATTERN, JS_REGEX_CONTEXT, TAG_START_CHARS, WS_PLUS,
     js_substring,
 )
 from .tree import (
@@ -62,7 +62,13 @@ def parse_html(
     emitter-function generation before this (r1-r3) still paid one
     Python call + frame per node; inlining measured +10.8% on the
     text-heavy bench pages (r4 A/B, identical trees on the corpus +
-    fuzz).  The node counter ``nn`` mirrors len(t.type) and is resynced
+    fuzz).  r5 A/B (+10.2% median paired CPU ratio on the same pages,
+    identical trees on corpus + 1500-case fuzz): the tag-start
+    dispatch is ONE frozenset lookup (TAG_START_CHARS) instead of
+    4 compares + a C regex call, attrs parse via finditer(s, pos)
+    instead of a slice, and ``ck_ap`` keeps the current node's
+    children-append bound so leaf emission skips an index + attr
+    fetch.  The node counter ``nn`` mirrors len(t.type) and is resynced
     after the CSS/JS submachines, which append through
     FlatTree.add_node.  Leaf nodes (text/comment/tag-close) share one
     immutable empty children tuple: a list per node measurably hurts
@@ -90,6 +96,10 @@ def parse_html(
 
     cap = max_nodes if max_nodes is not None else (1 << 62)
     nn = 1  # node counter == len(ttype); root is node 0
+    # bound append of the CURRENT node's children list — re-bound only
+    # when `current` moves (open/close), so text/comment emission skips
+    # the tchildren[current] index + attr fetch per node (r5 kernel A/B)
+    ck_ap = tchildren[0].append
 
     while pos < n:
         if nn > cap:
@@ -119,7 +129,7 @@ def parse_html(
                 ap_s0(-1)
                 ap_s1(-1)
                 ct_col[nn] = "html-comment"
-                tchildren[current].append(nn)
+                ck_ap(nn)
                 nn += 1
                 pos = comment_end + 3
                 continue
@@ -128,11 +138,9 @@ def parse_html(
             # (JS html[pos+1] at EOF is undefined; the validTagName test
             # then runs on the string "undefined" and PASSES, so the
             # rescue never fires at EOF — the open-tag path does.)
-            if nxt is not None and (
-                nxt == "<" or nxt == " "
-                or (nxt != "/" and nxt != "!"
-                    and not VALID_TAG_CHAR.match(nxt))
-            ):
+            # One set lookup ≡ the reference's 4-compare + regex test
+            # (see TAG_START_CHARS in jsre.py).
+            if nxt is not None and nxt not in TAG_START_CHARS:
                 next_tag = html.find("<", pos + 1)
                 text_end = n if next_tag == -1 else next_tag
                 ap_type(TEXT)
@@ -144,7 +152,7 @@ def parse_html(
                 ap_flags(0)
                 ap_s0(pos)
                 ap_s1(text_end)
-                tchildren[current].append(nn)
+                ck_ap(nn)
                 nn += 1
                 pos = text_end
                 continue
@@ -167,8 +175,11 @@ def parse_html(
                 attrs = None  # dict allocated only when attrs exist
                 attr_len = 0
                 if len(tag_content) != len(tag_name):
+                    # finditer(s, pos) ≡ finditer(s[pos:]) for this
+                    # anchor-free pattern — skips one slice alloc per
+                    # attributed tag (r5 kernel A/B)
                     for m in ATTR_PATTERN.finditer(
-                            tag_content[len(tag_name):]):
+                            tag_content, len(tag_name)):
                         attr_len += 1
                         if attrs is None:
                             attrs = {}
@@ -187,7 +198,7 @@ def parse_html(
                 ap_flags(0)
                 ap_s0(-1)
                 ap_s1(-1)
-                tchildren[current].append(nn)
+                ck_ap(nn)
                 nn += 1
 
                 if tag_name == "style":
@@ -209,7 +220,7 @@ def parse_html(
                         ap_flags(FLAG_STYLE_BLOCK)
                         ap_s0(-1)
                         ap_s1(-1)
-                        tchildren[current].append(nn)
+                        ck_ap(nn)
                         nn += 1
                         continue
 
@@ -235,13 +246,14 @@ def parse_html(
                         ap_flags(FLAG_SCRIPT_BLOCK)
                         ap_s0(-1)
                         ap_s1(-1)
-                        tchildren[current].append(nn)
+                        ck_ap(nn)
                         nn += 1
                         pos = close_pos + len(close_tag)
                         continue
 
                 if tag_name not in VOID_ELEMS:
                     current = node
+                    ck_ap = tchildren[node].append
                 pos = tag_end + 1
                 continue
 
@@ -268,7 +280,8 @@ def parse_html(
                     ap_flags(0)
                     ap_s0(-1)
                     ap_s1(-1)
-                    tchildren[par].append(nn)
+                    ck_ap = tchildren[par].append
+                    ck_ap(nn)
                     nn += 1
                     current = par
                     found = True
@@ -284,7 +297,7 @@ def parse_html(
                 ap_flags(0)
                 ap_s0(-1)
                 ap_s1(-1)
-                tchildren[current].append(nn)
+                ck_ap(nn)
                 nn += 1
             pos = tag_end + 1
             continue
@@ -302,7 +315,7 @@ def parse_html(
             ap_flags(0)
             ap_s0(pos)
             ap_s1(text_end)
-            tchildren[current].append(nn)
+            ck_ap(nn)
             nn += 1
         pos = text_end
 
