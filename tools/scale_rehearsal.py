@@ -1,0 +1,184 @@
+"""sf1 scale rehearsal for the dedup family (VERDICT r4 item 8): the
+sf0.1 bench cannot see quadratic candidate growth, so run the LSH
+pipeline once at 400k docs (= sf1 scale) and record wall, plan
+stability, and recall.
+
+Two 400k corpora, each probing a different failure mode:
+
+  replicated — sf0.1's 5k docs × 80 identical replicas: the
+    duplication-PATHOLOGICAL regime (every (band,sig) bucket holds
+    ≥80 docs, i.e. every bucket is over the max_bucket=64 cap).  This
+    measures that the caps keep candidate growth bounded: walls must
+    stay ~linear in corpus size, never O(bucket²).  The capped LSH
+    deliberately drops intra-replica pairs here — those docs are
+    byte-identical, which exact dedup (always run first in curate /
+    curate_web) collapses without LSH's help; SCALE.md documents the
+    trade.  curate_web runs on this corpus end-to-end.
+
+  planted — 400k docs of ~200 deterministic md5-derived tokens each
+    (unique text, buckets of size ~1, the cap never fires), with 2000
+    PLANTED near-dup pairs: doc 200k+i shares the first 190 tokens of
+    doc i for i % 100 == 0 (3-gram Jaccard ≈ 0.88 ≥ τ=0.3; expected
+    banding recall at 8×4 banding ≈ 1 - (1-0.88^4)^8 ≈ 0.998).  This
+    measures RECALL of the banded+capped machinery at 400k without
+    bucket pathology: found planted pairs / 2000.
+
+Plan stability: the formatted physical plan of dedup_minhash_lsh is
+compiled at 40k and at 400k and the Exchange node counts compared —
+corpus size must not change the plan shape.
+
+Usage: python3 tools/scale_rehearsal.py [out_json]
+Appends one JSON line per measurement; ~10-25 min total.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from bench import _host_control  # noqa: E402
+from simple_html_parser_spark.operators import dedup as D  # noqa: E402
+from simple_html_parser_spark.operators.curation import curate_web  # noqa: E402
+from simple_html_parser_spark.runtime.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+REPL = 80  # 5k base docs × 80 = 400k
+
+
+def replicated(spark, mult: int) -> DataFrame:
+    raw = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .select("doc_id", "text", "lang", "source"))
+    return (raw.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        .withColumn("doc_id", F.col("doc_id") * mult + F.col("rep"))
+        .drop("rep")
+        .repartition(64, F.xxhash64("doc_id")))
+
+
+N_DOCS = 400_000
+PLANT_EVERY = 100  # doc i (i < N/2, i % 100 == 0) twins doc N/2 + i
+TOKENS = 200
+SHARED = 190  # twin shares the first 190 tokens
+
+
+def planted(spark) -> DataFrame:
+    """400k unique-text docs + 2000 planted near-dup twins.  Token t
+    of doc d is md5(seed)-derived where seed = base_id for the shared
+    prefix (twin inherits it) and a doc-unique value for the tail."""
+    half = N_DOCS // 2
+    ids = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    is_twin = (F.col("doc_id") >= half) & \
+        ((F.col("doc_id") - half) % PLANT_EVERY == 0)
+    base_id = F.when(is_twin, F.col("doc_id") - half) \
+        .otherwise(F.col("doc_id"))
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(TOKENS)),
+            lambda i: F.substring(
+                F.md5(F.concat(
+                    F.when(i <= SHARED, base_id.cast("string"))
+                    .otherwise(F.col("doc_id").cast("string")),
+                    F.lit(":"), i.cast("string"))), 1, 8)),
+        " ")
+    return (ids.select("doc_id", text.alias("text"),
+                       F.lit("en").alias("lang"),
+                       F.lit("plant").alias("source"))
+            .repartition(64, F.xxhash64("doc_id")))
+
+
+def timed(name: str, make_df, out: list) -> int:
+    """make_df is a THUNK: dedup_clusters / curate_web run eager
+    localCheckpoint jobs at DataFrame-CONSTRUCTION time, so building
+    the frame must happen inside the timed window."""
+    ctl0 = _host_control(400_000)
+    t0 = time.perf_counter()
+    n = make_df().count()
+    wall = round(time.perf_counter() - t0, 1)
+    ctl1 = _host_control(400_000)
+    rec = {"name": name, "wall_s": wall, "rows": n,
+           "host_ctl": [ctl0, ctl1]}
+    print(json.dumps(rec), flush=True)
+    out.append(rec)
+    return n
+
+
+def exchange_count(df: DataFrame, spark) -> int:
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_rehearsal.json"
+    spark = get_spark("scale-rehearsal", master="local[32]",
+                      shuffle_partitions=64)
+    results: list = []
+
+    # plan stability: 40k vs 400k must compile to the same shape
+    small = replicated(spark, 8)
+    big = replicated(spark, REPL)
+    ex_small = exchange_count(D.dedup_minhash_lsh(
+        small, threshold=0.30, max_shingle_df="auto"), spark)
+    ex_big = exchange_count(D.dedup_minhash_lsh(
+        big, threshold=0.30, max_shingle_df="auto"), spark)
+    rec = {"name": "plan_stability_minhash",
+           "exchanges_40k": ex_small, "exchanges_400k": ex_big,
+           "stable": ex_small == ex_big}
+    print(json.dumps(rec), flush=True)
+    results.append(rec)
+
+    def hygiene():
+        import gc
+        spark.catalog.clearCache()
+        gc.collect()
+
+    # --- replicated pathology: caps must bound candidate growth ----
+    timed("repl400k_minhash", lambda: D.dedup_minhash_lsh(
+        big, threshold=0.30, max_shingle_df="auto"), results)
+    hygiene()
+    timed("repl400k_simhash", lambda: D.dedup_simhash(
+        big, max_hamming=3), results)
+    hygiene()
+    timed("repl400k_clusters", lambda: D.dedup_clusters(
+        big, threshold=0.30, max_shingle_df="auto"), results)
+    hygiene()
+    timed("repl400k_curate_web", lambda: curate_web(big), results)
+    hygiene()
+
+    # --- planted recall at 400k (caps never fire; buckets ~1) ------
+    pl = planted(spark)
+    pairs = D.dedup_minhash_lsh(pl, threshold=0.30,
+                                max_shingle_df="auto")
+    ctl0 = _host_control(400_000)
+    t0 = time.perf_counter()
+    half = N_DOCS // 2
+    found = (pairs
+             .where((F.col("doc_b") - F.col("doc_a") == half)
+                    & (F.col("doc_a") % PLANT_EVERY == 0))
+             .count())
+    total = pairs.count()
+    wall = round(time.perf_counter() - t0, 1)
+    expected = half // PLANT_EVERY
+    rec = {"name": "plant400k_minhash", "wall_s": wall,
+           "planted_found": found, "planted_expected": expected,
+           "recall": round(found / expected, 4), "total_pairs": total,
+           "host_ctl": [ctl0, _host_control(400_000)]}
+    print(json.dumps(rec), flush=True)
+    results.append(rec)
+
+    with open(out_path, "a", encoding="utf-8") as f:
+        f.write(json.dumps(results) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
