@@ -42,6 +42,8 @@ from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
 from simple_html_parser_spark.operators import domsql as DS
+from simple_html_parser_spark.operators import linkgraph as LG
+from simple_html_parser_spark.operators import mixing as MX
 from simple_html_parser_spark.operators import multimodal as MM
 from simple_html_parser_spark.operators import pdftext as PDF
 from simple_html_parser_spark.operators import relational as R
@@ -192,6 +194,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _synthetic_host_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic 20-host edge list for link_pagerank: universe =
+    the corpus' distinct url hosts (driver-scale: one row per source),
+    edges i -> (i + j*j) mod n for j in 1..3 with weight 1+(i*j)%5.
+    The global row_number window runs on the host-count-sized frame
+    only — never the corpus."""
+    from pyspark.sql import Window
+
+    hosts = (docs.select(
+        F.regexp_extract("url", r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+        .alias("host")).distinct())
+    n1 = hosts.agg(F.count("*").alias("n"))
+    idx = (hosts
+           .withColumn("i", F.row_number().over(Window.orderBy("host")) - 1)
+           .crossJoin(F.broadcast(n1)))
+    e = (idx.select(
+        F.col("host").alias("src_host"), "i", "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+        .select("src_host",
+                ((F.col("i") + F.col("j") * F.col("j")) % F.col("n"))
+                .alias("di"),
+                (1 + (F.col("i") * F.col("j")) % 5)
+                .cast("bigint").alias("n_links")))
+    dst = idx.select(F.col("host").alias("dst_host"),
+                     F.col("i").alias("di"))
+    return e.join(dst, "di").select("src_host", "dst_host", "n_links")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -546,6 +576,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url", F.col("payload").alias("html")),
             sniff_charset=True)
         .select("url", "extracted_text"))
+
+    # ---- token-budget mixing + host link graph (r5) ----
+    # deterministic "take N tokens per language" sampling: histogram-
+    # cutoff form on the Spark side (no whole-group window),
+    # single-window replay in the oracle; budget 2000 cuts every lang
+    # at sf0.01 (kept 32-40 of 64-218 docs per lang)
+    q["crawl_token_budget"] = lambda spark, sf: MX.token_budget_mix(
+        _docs(spark, sf), budget_tokens=2000)
+    # anchors out of the real kernel parse → weighted host->host
+    # edges; the fixture templates carry 3 relative hrefs per doc, so
+    # the closed form is one self-edge per source host with weight
+    # 3·docs(source)
+    q["link_graph"] = lambda spark, sf: LG.host_link_graph(
+        _docs(spark, sf))
+    # integer-exact PageRank (3 sweeps) over a deterministic 20-host
+    # graph: the host universe comes from the corpus urls, edges are
+    # the closed-form (i -> (i+j²) mod n, weight 1+(i·j)%5) offsets —
+    # the fixture corpus is single-host-per-doc, so inter-host edges
+    # are synthesized; DuckDB replays universe, construction, and all
+    # three sweeps
+    q["link_pagerank"] = lambda spark, sf: LG.host_pagerank(
+        _synthetic_host_edges(_docs(spark, sf)), iters=3)
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -1852,4 +1904,64 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 5 = 4 THEN ' café'
                        ELSE '' END) AS extracted_text
         FROM documents"""
+
+    # token-budget mixing: the single-window replay of the prefix rule
+    # (Spark runs the histogram-cutoff form; pytest proves the two
+    # identical) — keep while inclusive cumsum in (md5(url), url)
+    # order stays <= 2000 per lang
+    o["crawl_token_budget"] = f"""
+        WITH t AS (
+            SELECT lang, {_URL_SQL} AS url,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT lang, url, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY md5(url), url) AS cum
+            FROM t)
+        SELECT lang, url, n_tokens FROM c WHERE cum <= 2000"""
+
+    # link graph closed form: the fixture templates carry exactly 3
+    # relative hrefs per doc, all resolving to the page's own host
+    # (= source, per _URL_SQL)
+    o["link_graph"] = """
+        SELECT source AS src_host, source AS dst_host,
+               CAST(3 * count(*) AS BIGINT) AS n_links
+        FROM documents GROUP BY source"""
+
+    # integer PageRank, 3 sweeps replayed layer by layer; // is
+    # DuckDB's floor-division (Spark: DIV) — identical on the
+    # positive bigints used here; SUMs cast back from HUGEINT
+    _PR_SWEEP = """
+        r{K} AS (
+            SELECT i.host,
+                   CAST(15000000000000 // (100 * i.n)
+                        + COALESCE(s.inflow, 0) AS BIGINT) AS rank
+            FROM idx i LEFT JOIN (
+                SELECT e.dst_host AS host,
+                       CAST(SUM((r.rank * 85 * e.w) // (o.wout * 100))
+                            AS BIGINT) AS inflow
+                FROM edges e
+                JOIN r{P} r ON e.src_host = r.host
+                JOIN outw o ON e.src_host = o.src_host
+                GROUP BY 1) s ON i.host = s.host)"""
+    o["link_pagerank"] = ("""
+        WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+        idx AS (
+            SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS i,
+                   (SELECT COUNT(*) FROM hosts) AS n
+            FROM hosts),
+        edges AS (
+            SELECT a.host AS src_host, b.host AS dst_host,
+                   CAST(1 + (a.i * v.j) % 5 AS BIGINT) AS w
+            FROM idx a, (VALUES (1), (2), (3)) AS v(j), idx b
+            WHERE b.i = (a.i + v.j * v.j) % a.n),
+        outw AS (SELECT src_host, CAST(SUM(w) AS BIGINT) AS wout
+                 FROM edges GROUP BY 1),
+        r0 AS (SELECT host, CAST(1000000000000 // n AS BIGINT) AS rank
+               FROM idx),"""
+        + _PR_SWEEP.format(K=1, P=0) + ","
+        + _PR_SWEEP.format(K=2, P=1) + ","
+        + _PR_SWEEP.format(K=3, P=2) + """
+        SELECT host, rank FROM r3""")
     return o

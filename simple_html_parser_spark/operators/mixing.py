@@ -1,0 +1,121 @@
+"""Deterministic token-budget sampling ("take N tokens per group").
+
+The mixing step every large-scale training-data pipeline ends with:
+given per-group token budgets (per language, per domain tier, per
+source), select a reproducible subset of documents whose token total
+fills — but never exceeds — each group's budget.  The selection rule
+is the deterministic-hash analogue of ``domain_hash_sample``:
+
+    order each group's docs by (md5(url), url); keep a doc iff
+    the group's inclusive running token total up to and including it
+    is <= the budget.
+
+A pure prefix rule: in-or-out depends only on the corpus content,
+never on partitioning, executor count, or resume — and DuckDB replays
+it with one window (the oracle).
+
+The SPARK plan must not replay it that way: a window partitioned by
+group sorts the whole group in one task — at 10^12 docs a single
+language is most of the corpus, an unboundable straggler (AQE skew
+handling does not apply to windows).  ``token_budget_mix`` instead
+uses a histogram-cutoff: docs hash into 4096 md5-prefix buckets;
+per-(group, bucket) token sums form a GROUPS x 4096 frame (driver-
+scale by construction, regardless of corpus size) on which the
+cumulative scan runs; every bucket strictly below the crossing point
+is kept whole, every bucket above is dropped whole, and only the ONE
+crossing bucket per group — corpus/4096 docs — pays a per-doc window.
+Bucket order is the md5-prefix order, so bucket cumsums are exact
+prefixes of the global rule: the result is bit-identical to the
+window form (pytest proves equality).
+
+Scale shape: one partial-aggregating hash-agg on a bounded keyspace +
+two broadcast joins of a by-construction-small frame + one window
+over 1/4096th of each group.  No corpus sort, no corpus shuffle
+beyond the agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+N_BUCKETS_HEX = 3  # md5 hex-prefix length: 16^3 = 4096 buckets
+
+
+def _keyed_tokens(docs: DataFrame, group_col: str) -> DataFrame:
+    """(group, url, n_tokens, mk, bucket) — md5 ranking key and its
+    hex-prefix bucket.  Lexicographic order on the prefix is
+    consistent with order on the full digest, which makes bucket
+    cumsums exact prefixes of the global (mk, doc_id) order."""
+    return docs.select(
+        F.col(group_col).alias("grp"),
+        "url",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("url")).alias("mk"),
+    ).withColumn("bucket", F.substring("mk", 1, N_BUCKETS_HEX))
+
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int,
+                     group_col: str = "lang") -> DataFrame:
+    """Documents(url, text, <group_col>) → the kept subset
+    (<group_col>, url, n_tokens) under a per-group token budget.
+
+    Keep rule (exact, deterministic): within each group, in
+    (md5(url), url) order, keep while the inclusive running
+    n_tokens total is <= ``budget_tokens``.  Zero-token docs at the
+    boundary are kept (<=, not <) — the rule is a pure prefix.
+    """
+    toks = _keyed_tokens(docs, group_col)
+
+    # GROUPS x 4096 histogram: the only corpus-wide exchange, and a
+    # partial-aggregating one (4096 keys per group absorb any skew).
+    hist = toks.groupBy("grp", "bucket").agg(
+        F.sum("n_tokens").alias("bt"))
+    wb = Window.partitionBy("grp").orderBy("bucket")
+    hist = (hist
+            .withColumn("cum_end", F.sum("bt").over(wb))
+            .withColumn("cum_before",
+                        F.col("cum_end") - F.col("bt")))
+
+    budget = F.lit(budget_tokens).cast("bigint")
+    # buckets fully inside the budget: every doc's inclusive cumsum
+    # is <= the bucket-end cumsum <= budget.
+    full = hist.where(F.col("cum_end") <= budget).select("grp", "bucket")
+    # the single crossing bucket per group (cum_end is nondecreasing,
+    # so cum_before <= budget < cum_end holds exactly once).
+    edge = hist.where((F.col("cum_before") <= budget)
+                      & (F.col("cum_end") > budget)) \
+               .select("grp", "bucket", "cum_before")
+
+    kept_full = toks.join(F.broadcast(full), ["grp", "bucket"],
+                          "left_semi")
+    # per-doc refinement inside the crossing bucket only: the window
+    # sorts corpus/4096 rows per group — bounded at any corpus size.
+    wdoc = (Window.partitionBy("grp", "bucket")
+            .orderBy("mk", "url")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (toks.join(F.broadcast(edge), ["grp", "bucket"])
+                .withColumn("cum", F.col("cum_before")
+                            + F.sum("n_tokens").over(wdoc))
+                .where(F.col("cum") <= budget))
+
+    out_cols = [F.col("grp").alias(group_col), "url", "n_tokens"]
+    return kept_full.select(*out_cols).unionByName(
+        boundary.select(*out_cols))
+
+
+def token_budget_mix_window(docs: DataFrame, budget_tokens: int,
+                            group_col: str = "lang") -> DataFrame:
+    """The single-window reference form of the same rule — the shape
+    the DuckDB oracle uses.  Correct, but sorts whole groups in single
+    tasks; exists so pytest can prove the histogram-cutoff form
+    IDENTICAL on every corpus (mirrors domain_quota's two-form
+    proof)."""
+    toks = _keyed_tokens(docs, group_col)
+    w = (Window.partitionBy("grp").orderBy("mk", "url")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (toks.withColumn("cum", F.sum("n_tokens").over(w))
+            .where(F.col("cum") <= F.lit(budget_tokens).cast("bigint"))
+            .select(F.col("grp").alias(group_col), "url", "n_tokens"))

@@ -1005,3 +1005,134 @@ def test_extraction_cp1252_twin(spark):
                spark.createDataFrame(rows), sniff_charset=True).collect()}
     assert out["cp1252"] == out["u8"]
     assert "naïve café résumé" in out["u8"]
+
+
+def test_token_budget_mix_equals_window(spark, docs):
+    """The histogram-cutoff form must be BIT-IDENTICAL to the
+    single-window prefix rule at several budgets (incl. 0 and
+    everything), and per-group kept totals must respect the budget."""
+    from simple_html_parser_spark.operators.mixing import (
+        token_budget_mix,
+        token_budget_mix_window,
+    )
+
+    for budget in (0, 150, 900, 10**9):
+        fast = sorted(map(tuple,
+                          token_budget_mix(docs, budget).collect()))
+        ref = sorted(map(tuple,
+                         token_budget_mix_window(docs, budget).collect()))
+        assert fast == ref, f"budget={budget}"
+        per_group: dict = {}
+        for lang, _url, n in fast:
+            per_group[lang] = per_group.get(lang, 0) + n
+        assert all(v <= budget for v in per_group.values())
+    # budget 0 keeps nothing (no zero-token docs in the corpus),
+    # budget 1e9 keeps everything
+    assert not token_budget_mix(docs, 0).take(1)
+    assert token_budget_mix(docs, 10**9).count() == docs.count()
+
+
+def test_token_budget_mix_monotone_and_stable(spark, docs):
+    """A prefix rule is monotone in the budget (a bigger budget only
+    ADDS docs — earlier picks never churn) and independent of input
+    partitioning."""
+    from simple_html_parser_spark.operators.mixing import (
+        token_budget_mix,
+    )
+
+    small = {r["url"] for r in token_budget_mix(docs, 300).collect()}
+    big = {r["url"] for r in token_budget_mix(docs, 1200).collect()}
+    assert small and small < big
+    repart = sorted(map(tuple,
+                        token_budget_mix(docs.repartition(13), 1200)
+                        .collect()))
+    assert repart == sorted(map(tuple,
+                                token_budget_mix(docs, 1200).collect()))
+
+
+def test_host_link_graph_closed_form(spark, docs):
+    """Fixture templates carry exactly 3 relative hrefs per doc, all
+    resolving to the page's own host — edges are (s, s, 3·docs(s));
+    absolute and protocol-relative hrefs route to their own host."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.linkgraph import (
+        host_link_graph,
+    )
+
+    per_source = {r["h"]: r["c"] for r in docs.selectExpr(
+        "regexp_extract(url, '^[a-z][a-z0-9+.\\\\-]*://([^/]+)', 1) AS h")
+        .groupBy("h").agg(F.count("*").alias("c")).collect()}
+    edges = host_link_graph(docs).collect()
+    assert {(r["src_host"], r["dst_host"]): r["n_links"]
+            for r in edges} == {(s, s): 3 * c
+                                for s, c in per_source.items()}
+
+    page = ('<html><body>'
+            '<a href="https://other.example.com/x">a</a>'
+            '<a href="//proto.example.com/y">p</a>'
+            '<a href="/rel">r</a></body></html>')
+    one = spark.createDataFrame(
+        [Row(url="https://me.example.com/p", html=page.encode())])
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_link_graph(one).collect()}
+    assert got == {("me.example.com", "other.example.com"): 1,
+                   ("me.example.com", "proto.example.com"): 1,
+                   ("me.example.com", "me.example.com"): 1}
+
+
+def _pagerank_reference(edge_list, iters, scale=10**12, damping=85):
+    """Pure-Python replay of the integer sweep semantics."""
+    hosts = sorted({s for s, _, _ in edge_list}
+                   | {d for _, d, _ in edge_list})
+    n = len(hosts)
+    wout: dict = {}
+    for s, _, w in edge_list:
+        wout[s] = wout.get(s, 0) + w
+    rank = {h: scale // n for h in hosts}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        inflow = {h: 0 for h in hosts}
+        for s, d, w in edge_list:
+            inflow[d] += (rank[s] * damping * w) // (wout[s] * 100)
+        rank = {h: base + inflow[h] for h in hosts}
+    return rank
+
+
+def test_host_pagerank_matches_reference(spark):
+    """Spark's integer sweeps equal a pure-Python replay on a small
+    asymmetric graph, are partition-independent, and total mass never
+    exceeds the scale grid (floors only lose mass)."""
+    from simple_html_parser_spark.operators.linkgraph import (
+        host_pagerank,
+    )
+
+    edge_list = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2),
+                 ("a", "c", 1), ("d", "a", 5), ("c", "d", 1)]
+    edges = spark.createDataFrame(
+        edge_list, "src_host string, dst_host string, n_links bigint")
+    got = {r["host"]: r["rank"]
+           for r in host_pagerank(edges, iters=4).collect()}
+    assert got == _pagerank_reference(edge_list, iters=4)
+    assert sum(got.values()) <= 10**12
+    got13 = {r["host"]: r["rank"]
+             for r in host_pagerank(edges.repartition(13),
+                                    iters=4).collect()}
+    assert got13 == got
+
+
+def test_host_pagerank_overflow_guard(spark):
+    """An edge weight past the ANSI bound raises instead of silently
+    degrading (Spark 4 bigint overflow THROWS — the guard makes the
+    failure mode a named error)."""
+    import pytest as _pytest
+
+    from simple_html_parser_spark.operators.linkgraph import (
+        host_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 200_000), ("b", "a", 1)],
+        "src_host string, dst_host string, n_links bigint")
+    with _pytest.raises(Exception, match="overflow bound"):
+        host_pagerank(edges, iters=1).collect()

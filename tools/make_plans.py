@@ -182,6 +182,26 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "survives into the consumer-visible plan (curation pipelines "
      "compose against materialized partitions)",
      ["Scan ExistingRDD"], ["Join", "Exchange", "MapInArrow"]),
+    ("crawl_token_budget",
+     "token-budget mixing NEVER sorts a whole group: the corpus side "
+     "is one partial-aggregating hash-agg onto the (group, 4096-"
+     "bucket) histogram; both windows run on bounded frames (the "
+     "histogram itself, and the single crossing bucket per group) "
+     "and rejoin the corpus via broadcast — no corpus sort-merge "
+     "join, no group-wide window",
+     ["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin"]),
+    ("link_graph",
+     "anchors → weighted host edges is ONE Arrow stage + ONE "
+     "partial-aggregating hash-agg (map-side combine absorbs host "
+     "skew); no join anywhere",
+     ["MapInArrow", "HashAggregate"],
+     ["SortMergeJoin", "BroadcastHashJoin"]),
+    ("link_pagerank",
+     "iterative integer PageRank converges INSIDE the per-sweep "
+     "localCheckpoint loop (the dedup_clusters pattern): the "
+     "consumer-visible plan is a scan of the final checkpointed "
+     "ranks — no sweep joins, exchanges, or Python stages accrete",
+     ["Scan ExistingRDD"], ["Join", "Exchange", "MapInArrow"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
