@@ -163,6 +163,41 @@ def _nearest(tree: FlatTree, nid: int, names: frozenset) -> int:
     return -1
 
 
+def _nearest_memo(
+    tree: FlatTree, nid: int, names: frozenset, cache: dict
+) -> int:
+    """``_nearest`` with a per-call-site memo over ancestor node ids.
+
+    ``cache[e]`` = nearest tag-open in ``names`` at-or-above element
+    ``e`` (-1 if none).  Candidates in one document share ancestor
+    chains, so the naive walk is O(candidates × depth) with a
+    ``str.lower`` per step; memoised it is O(elements) total — on
+    real crawl pages (depth 15-25, thousands of text nodes) this is
+    the difference between ~40k and ~2k chain steps per document.
+    Pure lookup reordering: returns exactly ``_nearest``'s value."""
+    p = tree.parent[nid]
+    path = []
+    ttype = tree.type
+    tname = tree.name
+    tparent = tree.parent
+    while p >= 0:
+        hit = cache.get(p)
+        if hit is not None:
+            break
+        if ttype[p] == TAG_OPEN and tname[p].lower() in names:
+            hit = p
+            break
+        path.append(p)
+        p = tparent[p]
+    else:
+        hit = -1
+    for e in path:
+        cache[e] = hit
+    if p >= 0:
+        cache[p] = hit
+    return hit
+
+
 _A = frozenset(("a",))
 
 
@@ -175,14 +210,16 @@ def _density_filter(
     block_of: list[int] = []
     text_chars: dict[int, int] = {}
     link_chars: dict[int, int] = {}
+    block_cache: dict[int, int] = {}
+    link_cache: dict[int, int] = {}
     for nid, _anc in cands:
-        block = _nearest(tree, nid, profile.block_tags)
+        block = _nearest_memo(tree, nid, profile.block_tags, block_cache)
         block_of.append(block)
         # frozen-spec length = Unicode CODE POINTS (a JS .length would
         # count astral chars twice; the harness mirror uses Array.from)
         n = len(js_trim(tree.content[nid]))
         text_chars[block] = text_chars.get(block, 0) + n
-        link_anc = _nearest(tree, nid, _A)
+        link_anc = _nearest_memo(tree, nid, _A, link_cache)
         # link text only counts if the <a> is inside the block
         if link_anc != -1 and (block == -1 or link_anc > block):
             link_chars[block] = link_chars.get(block, 0) + n
