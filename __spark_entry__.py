@@ -598,6 +598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # three sweeps
     q["link_pagerank"] = lambda spark, sf: LG.host_pagerank(
         _synthetic_host_edges(_docs(spark, sf)), iters=3)
+    # exact duplicated-substring removal (Lee et al. 2021 ExactSubstr,
+    # hashed stride-1 window form): window=12 so the corpus' planted
+    # near-dup families and refetch copies produce real cross-doc hits
+    q["dedup_substrings"] = lambda spark, sf: (
+        D.dedup_substrings(_raw_docs(spark, sf), window=12))
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -619,7 +624,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     domain_sample;
     #   * single-green-r4 block: ann_kmeans_topk, image_features,
     #     audio_features, pdf_text_extract, stream_windowed_metrics,
-    #     stream_first_seen_dedup.
+    #     stream_first_seen_dedup;
+    #   * never-driver-green r5 additions: crawl_token_budget,
+    #     link_graph, link_pagerank, dedup_substrings — in by the
+    #     same policy that promoted the charset pair, displacing the
+    #     only TWO-round-green rows left in-window (dedup_simhash
+    #     r3+r4, curate_web r3+r4) plus two with stronger in-window
+    #     family cover: crawl_delta (r3; mix/quota/sample stay) and
+    #     audio_features_stub (r2; the real audio_features stays).
     # Rotated OUT (all driver-green in BOTH r3 and r4, or ≥2 rounds):
     # dedup_exact/ngram_jaccard/minhash_lsh, simhash_signatures,
     # shingle_drop_stats, dedup_lines, decontaminate, pii_scrub,
@@ -640,11 +652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_serialize_api", "doc_serialize_api", "doc_visualize",
         "doc_edit_pipeline", "doc_roundtrip",
         "charset_sniff", "charset_extract",
-        "curation_pipeline", "dedup_clusters", "dedup_simhash",
-        "curate_web",
+        "curation_pipeline", "dedup_clusters",
+        "crawl_token_budget", "link_graph", "link_pagerank",
+        "dedup_substrings",
         "embedding_srp_lsh", "lang_distribution", "repetition_stats",
-        "audio_features_stub", "frame_sample",
-        "crawl_delta", "crawl_domain_mix", "crawl_domain_quota",
+        "frame_sample",
+        "crawl_domain_mix", "crawl_domain_quota",
         "crawl_domain_sample",
         "ann_kmeans_topk", "image_features", "audio_features",
         "pdf_text_extract", "stream_windowed_metrics",
@@ -1964,4 +1977,33 @@ def oracle_sql() -> dict[str, str]:
         + _PR_SWEEP.format(K=2, P=1) + ","
         + _PR_SWEEP.format(K=3, P=2) + """
         SELECT host, rank FROM r3""")
+
+    # exact duplicated-substring removal: every 12-token stride-1 span
+    # occurring >= 2 times corpus-wide is cut from every document;
+    # md5 of the space-joined span matches Spark's md5 byte-for-byte
+    o["dedup_substrings"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        wins AS (
+            SELECT doc_id,
+                   unnest(range(0, len(t) - 12 + 1)) AS start,
+                   unnest(list_transform(range(0, len(t) - 12 + 1),
+                       i -> md5(array_to_string(t[(i+1):(i+12)], ' '))))
+                       AS h
+            FROM toks WHERE len(t) >= 12),
+        dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+                 FROM wins JOIN dups USING (h) GROUP BY doc_id),
+        kept AS (
+            SELECT toks.doc_id, t,
+                   CASE WHEN hits.doc_id IS NULL THEN t
+                        ELSE list_filter(t, (x, i) ->
+                            len(list_filter(starts,
+                                s -> s <= i - 1 AND i - 1 < s + 12)) = 0)
+                   END AS k
+            FROM toks LEFT JOIN hits USING (doc_id))
+        SELECT doc_id,
+               coalesce(array_to_string(k, ' '), '') AS kept_text,
+               len(t) AS n_tokens,
+               len(t) - len(k) AS n_removed
+        FROM kept"""
     return o

@@ -698,3 +698,83 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
             F.expr("n_contaminated * 10000 div n_shingles")
             .alias("contam_bp"))
     )
+
+
+# --- exact duplicated-substring removal -----------------------------------
+
+def dedup_substrings(docs: DataFrame, window: int = 32,
+                     min_count: int = 2) -> DataFrame:
+    """Exact substring dedup (the ExactSubstr pass of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021,
+    arXiv:2107.06499 — public paper): every ``window``-token span
+    whose space-joined text occurs at least ``min_count`` times
+    corpus-wide (within- OR cross-document, like the paper's
+    suffix-array formulation) is removed from every document it
+    appears in.  Returns (doc_id, kept_text, n_tokens, n_removed);
+    a fully-duplicated doc survives with kept_text = ''.
+
+    Distributed formulation: the paper builds one corpus-wide suffix
+    array — inherently sequential.  Here every token position emits
+    the md5 of its stride-1 ``window``-token span; a span is
+    duplicated iff its hash key aggregates to count >= min_count.
+    Identical spans hash identically, so this is EXACT on the paper's
+    criterion (modulo md5 collisions, ~2^-64 per corpus at 10^12
+    docs' window counts).
+
+    Scale shape (10^12 docs): the windows frame is one row per token
+    — the same cardinality every shingle/line pass here already
+    shuffles.  Duplicate detection is a hash AGGREGATE on the span
+    hash with map-side partial count (boilerplate spans duplicated
+    across millions of pages pre-combine per map task); the hit join
+    back is a shuffle equi-join on the same key (AQE skew-split
+    applies), then one collect_set per doc bounded by the doc's own
+    token count.  No corpus-proportional broadcast anywhere.  At
+    prod, swap md5 for xxhash64 to cut exchange width 4x (md5 is
+    kept here because the DuckDB value oracle replays it); the
+    reconstruction HOF is O(n_tok x n_dup_spans) per doc, bounded by
+    the length filter any crawl corpus applies upstream."""
+    toks_df = docs.select("doc_id", tokens_col().alias("_toks"))
+    tk = F.col("_toks")
+    wins_arr = F.when(
+        F.size(tk) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - window),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice(tk, i + 1, window)))),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        toks_df.select("doc_id", wins_arr.alias("_w"))
+        .select("doc_id", F.posexplode("_w").alias("start", "h"))
+    )
+    dup = (
+        wins.groupBy("h").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count).select("h")
+    )
+    hits = (
+        wins.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("start")).alias("_starts"))
+    )
+    # _kept is materialized ONCE before the final projection uses it
+    # twice (concat + size) — an inlined filter() is an
+    # array-producing expression Catalyst does not CSE
+    kept = F.filter(
+        tk,
+        lambda x, i: ~F.exists(
+            F.col("_s"),
+            lambda s: (s <= i) & (i < s + F.lit(window))),
+    )
+    return (
+        toks_df.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "_toks",
+            F.coalesce("_starts", F.array().cast("array<int>"))
+            .alias("_s"))
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "_kept").alias("kept_text"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            (F.size("_toks") - F.size("_kept")).cast("bigint")
+            .alias("n_removed"))
+    )

@@ -622,6 +622,93 @@ def test_dedup_lines_first_occurrence(spark):
     assert 4 not in out  # no segments at all -> no row
 
 
+def test_dedup_substrings_semantics(spark):
+    """Exact substring dedup removes every token covered by a
+    duplicated window (within- or cross-doc), keeps short docs whole,
+    and respects min_count."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import dedup as D
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h unique tail one"),
+        Row(doc_id=2, text="x y a b c d e f g h other words"),
+        Row(doc_id=3, text="totally different text with no dup span"),
+        Row(doc_id=4, text="short doc"),
+        Row(doc_id=5, text="rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in
+           D.dedup_substrings(df, window=4).collect()}
+    # the shared 8-token run a..h is cut from BOTH docs
+    assert out[1].kept_text == "unique tail one"
+    assert out[1].n_tokens == 11 and out[1].n_removed == 8
+    assert out[2].kept_text == "x y other words"
+    assert out[2].n_removed == 8
+    # no duplicated window -> untouched
+    assert out[3].kept_text == rows[2].text and out[3].n_removed == 0
+    # shorter than the window -> no windows, untouched
+    assert out[4].kept_text == "short doc" and out[4].n_removed == 0
+    # WITHIN-doc repetition counts (Lee et al. total-occurrence rule)
+    assert out[5].kept_text == "" and out[5].n_removed == 8
+    # min_count=6 spares the pair-duplicated span but still kills the
+    # 5x-windowed within-doc repeat run? rep-run has 5 windows -> kept
+    out3 = {r.doc_id: r for r in
+            D.dedup_substrings(df, window=4, min_count=6).collect()}
+    assert out3[1].n_removed == 0 and out3[5].n_removed == 0
+
+
+def test_dedup_substrings_partition_independent(spark):
+    """Same output at 1 and 13 partitions (no order/placement
+    dependence anywhere in the plan)."""
+    from simple_html_parser_spark.operators import dedup as D
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(120))
+    a = {tuple(r) for r in
+         D.dedup_substrings(base.repartition(1), window=12).collect()}
+    b = {tuple(r) for r in
+         D.dedup_substrings(base.repartition(13), window=12).collect()}
+    assert a == b and len(a) == 120
+    assert any(r[3] > 0 for r in a)  # corpus near-dups produce hits
+
+
+def test_dedup_substrings_matches_python_reference(spark):
+    """Brute-force reference: enumerate every stride-1 window string,
+    count, remove covered tokens."""
+    import random
+
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import dedup as D
+
+    rng = random.Random(4242)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [Row(doc_id=i,
+                text=" ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 30))))
+            for i in range(60)]
+    W = 5
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in rows}
+    from collections import Counter
+    cnt = Counter(
+        " ".join(t[i:i + W])
+        for t in toks.values() for i in range(len(t) - W + 1))
+    expected = {}
+    for did, t in toks.items():
+        covered = set()
+        for i in range(len(t) - W + 1):
+            if cnt[" ".join(t[i:i + W])] >= 2:
+                covered.update(range(i, i + W))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        expected[did] = (" ".join(kept), len(t), len(t) - len(kept))
+    got = {r.doc_id: (r.kept_text, r.n_tokens, r.n_removed)
+           for r in D.dedup_substrings(
+               spark.createDataFrame(rows), window=W).collect()}
+    assert got == expected
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     """A doc sharing 3-grams with the benchmark slice is scored; the
     benchmark docs themselves are excluded from the output."""

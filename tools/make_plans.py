@@ -202,6 +202,14 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "consumer-visible plan is a scan of the final checkpointed "
      "ranks — no sweep joins, exchanges, or Python stages accrete",
      ["Scan ExistingRDD"], ["Join", "Exchange", "MapInArrow"]),
+    ("dedup_substrings",
+     "ExactSubstr (Lee et al. 2021): duplicate detection is a hash "
+     "AGGREGATE on the span hash (map-side partial count absorbs "
+     "boilerplate spans before the exchange); the hit join back is a "
+     "co-partitioned shuffle equi-join; per-doc start collection is "
+     "bounded by the doc's own token count — no corpus-proportional "
+     "broadcast, no window sort, no Python stage",
+     ["HashAggregate"], ["Window", "MapInArrow", "MapInPandas"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
