@@ -42,6 +42,7 @@ from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
 from simple_html_parser_spark.operators import domsql as DS
+from simple_html_parser_spark.operators import fluency as FL
 from simple_html_parser_spark.operators import linkgraph as LG
 from simple_html_parser_spark.operators import mixing as MX
 from simple_html_parser_spark.operators import multimodal as MM
@@ -603,6 +604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # near-dup families and refetch copies produce real cross-doc hits
     q["dedup_substrings"] = lambda spark, sf: (
         D.dedup_substrings(_raw_docs(spark, sf), window=12))
+    # CCNet-style LM fluency filter (Wenzek et al. 2019): per-lang
+    # bigram LM (self-trained, min_count=2) → integer floor-log2
+    # score → head/middle/tail tertiles from the score HISTOGRAM
+    q["lm_fluency"] = lambda spark, sf: FL.lm_fluency(
+        _raw_docs(spark, sf).select("doc_id", "text", "lang"))
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -626,12 +632,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     audio_features, pdf_text_extract, stream_windowed_metrics,
     #     stream_first_seen_dedup;
     #   * never-driver-green r5 additions: crawl_token_budget,
-    #     link_graph, link_pagerank, dedup_substrings — in by the
-    #     same policy that promoted the charset pair, displacing the
-    #     only TWO-round-green rows left in-window (dedup_simhash
-    #     r3+r4, curate_web r3+r4) plus two with stronger in-window
-    #     family cover: crawl_delta (r3; mix/quota/sample stay) and
-    #     audio_features_stub (r2; the real audio_features stays).
+    #     link_graph, link_pagerank, dedup_substrings, lm_fluency —
+    #     in by the same policy that promoted the charset pair,
+    #     displacing the only TWO-round-green rows left in-window
+    #     (dedup_simhash r3+r4, curate_web r3+r4) plus three with
+    #     stronger in-window family cover: crawl_delta (r3;
+    #     mix/quota/sample stay), audio_features_stub (r2; the real
+    #     audio_features stays), and stream_windowed_metrics (r4;
+    #     stream_first_seen_dedup keeps the streaming family
+    #     in-window).
     # Rotated OUT (all driver-green in BOTH r3 and r4, or ≥2 rounds):
     # dedup_exact/ngram_jaccard/minhash_lsh, simhash_signatures,
     # shingle_drop_stats, dedup_lines, decontaminate, pii_scrub,
@@ -654,14 +663,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff", "charset_extract",
         "curation_pipeline", "dedup_clusters",
         "crawl_token_budget", "link_graph", "link_pagerank",
-        "dedup_substrings",
+        "dedup_substrings", "lm_fluency",
         "embedding_srp_lsh", "lang_distribution", "repetition_stats",
         "frame_sample",
         "crawl_domain_mix", "crawl_domain_quota",
         "crawl_domain_sample",
         "ann_kmeans_topk", "image_features", "audio_features",
-        "pdf_text_extract", "stream_windowed_metrics",
-        "stream_first_seen_dedup",
+        "pdf_text_extract", "stream_first_seen_dedup",
         "q1_pricing", "q3_top_orders",
     ]
     assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
@@ -2006,4 +2014,51 @@ def oracle_sql() -> dict[str, str]:
                len(t) AS n_tokens,
                len(t) - len(k) AS n_removed
         FROM kept"""
+
+    # CCNet-style fluency: per-lang bigram LM (count >= 2), weight =
+    # floor(log2(min(count, 65535))) = length(bin(x)) - 1 (identical
+    # integer form in Spark), fluency_bp = (10000*sum_w) // (15*n_bg),
+    # tertile split on the per-lang histogram: c = docs scoring >= bp,
+    # head iff 3c <= n+2, middle iff 3c <= 2n+2 (ties share a bucket)
+    o["lm_fluency"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+        bg AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS b
+            FROM toks WHERE len(t) >= 2),
+        lm AS (
+            SELECT lang, b, count(*) AS c FROM bg
+            GROUP BY lang, b HAVING count(*) >= 2),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(CASE WHEN lm.c IS NULL THEN 0
+                            ELSE length(bin(least(lm.c, 65535))) - 1
+                            END) AS BIGINT) AS sw
+            FROM bg LEFT JOIN lm USING (lang, b)
+            GROUP BY bg.doc_id),
+        docs_s AS (
+            SELECT d.doc_id, d.lang,
+                   coalesce(s.nb, 0) AS n_bigrams,
+                   CAST(CASE WHEN coalesce(s.nb, 0) = 0 THEN 0
+                        ELSE (10000 * s.sw) // (15 * s.nb)
+                        END AS BIGINT) AS fluency_bp
+            FROM documents d LEFT JOIN scored s USING (doc_id)),
+        hist AS (
+            SELECT lang, fluency_bp, count(*) AS hc
+            FROM docs_s GROUP BY lang, fluency_bp),
+        lab AS (
+            SELECT lang, fluency_bp,
+                   CASE WHEN 3 * c_ge <= n + 2 THEN 'head'
+                        WHEN 3 * c_ge <= 2 * n + 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (SELECT lang, fluency_bp,
+                         sum(hc) OVER (PARTITION BY lang
+                                       ORDER BY fluency_bp DESC) AS c_ge,
+                         sum(hc) OVER (PARTITION BY lang) AS n
+                  FROM hist))
+        SELECT d.doc_id, d.lang, d.n_bigrams, d.fluency_bp, l.bucket
+        FROM docs_s d JOIN lab l USING (lang, fluency_bp)"""
     return o

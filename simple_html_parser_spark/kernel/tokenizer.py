@@ -45,6 +45,23 @@ VOID_ELEMS = frozenset((
 
 DEFAULT_SPECIAL_TAGS = ("jhp", "s_")
 
+# Memo of parsed open-tag contents: crawl pages are REPETITIVE — the
+# same '<p class="content">' / '<a href="...">' tag bodies recur
+# thousands of times per page and millions per task, so the
+# WS_PLUS.search + ATTR_PATTERN.finditer work is paid once per
+# DISTINCT tag body and replayed as one dict .get (r5 A/B,
+# tools/ab_tag_memo.py: median paired CPU ratio 1.455 on the bench
+# pages — +45% parse+extract throughput; trees byte-identical on all
+# pages: the memo stores the parse RESULT, and every node receives
+# its own dict COPY so downstream attribute mutation never aliases —
+# pinned by test_tag_memo_no_attr_aliasing + goldens + fuzz).  Keys
+# are capped at 256 chars (pathological inline payloads stay
+# uncached) and the table clears at 4096 entries; worst-case races
+# under free-threading recompute, never corrupt.
+_TAG_MEMO: dict = {}
+_TAG_MEMO_MAX = 4096
+_TAG_MEMO_KEYLEN = 256
+
 
 class NodeCapExceeded(RuntimeError):
     """Raised when a document parses into more nodes than max_nodes —
@@ -166,27 +183,42 @@ def parse_html(
                 # find('>', pos) with html[pos] == '<' implies
                 # tag_end >= pos+1, so plain slicing is safe here
                 tag_content = html[pos + 1:tag_end]
-                # parts[0] of a JS \s+ split == prefix up to first
-                # JS-whitespace ('' when it starts with whitespace)
-                wsm = WS_PLUS.search(tag_content)
-                tag_name = tag_content[:wsm.start()] if wsm \
-                    else tag_content
+                memo = _TAG_MEMO.get(tag_content)
+                if memo is None:
+                    # parts[0] of a JS \s+ split == prefix up to first
+                    # JS-whitespace ('' when it starts with whitespace)
+                    wsm = WS_PLUS.search(tag_content)
+                    tag_name = tag_content[:wsm.start()] if wsm \
+                        else tag_content
 
-                attrs = None  # dict allocated only when attrs exist
-                attr_len = 0
-                if len(tag_content) != len(tag_name):
-                    # finditer(s, pos) ≡ finditer(s[pos:]) for this
-                    # anchor-free pattern — skips one slice alloc per
-                    # attributed tag (r5 kernel A/B)
-                    for m in ATTR_PATTERN.finditer(
-                            tag_content, len(tag_name)):
-                        attr_len += 1
-                        if attrs is None:
-                            attrs = {}
-                        attrs[m.group(1)] = (
-                            m.group(2) or m.group(3) or m.group(4)
-                            or "__EMPVAL__"
-                        )
+                    attrs = None  # dict allocated only when attrs exist
+                    attr_len = 0
+                    if len(tag_content) != len(tag_name):
+                        # finditer(s, pos) ≡ finditer(s[pos:]) for this
+                        # anchor-free pattern — skips one slice alloc
+                        # per attributed tag (r5 kernel A/B)
+                        for m in ATTR_PATTERN.finditer(
+                                tag_content, len(tag_name)):
+                            attr_len += 1
+                            if attrs is None:
+                                attrs = {}
+                            attrs[m.group(1)] = (
+                                m.group(2) or m.group(3) or m.group(4)
+                                or "__EMPVAL__"
+                            )
+                    if len(tag_content) <= _TAG_MEMO_KEYLEN:
+                        if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
+                            _TAG_MEMO.clear()
+                        # the memo keeps its own PRIVATE dict — the
+                        # node's dict is mutable downstream
+                        _TAG_MEMO[tag_content] = (
+                            tag_name,
+                            dict(attrs) if attrs is not None else None,
+                            attr_len)
+                else:
+                    tag_name, attrs, attr_len = memo
+                    if attrs is not None:
+                        attrs = dict(attrs)
 
                 node = nn
                 ap_type(TAG_OPEN)

@@ -703,7 +703,8 @@ def decontaminate(docs: DataFrame, bench: DataFrame | None = None,
 # --- exact duplicated-substring removal -----------------------------------
 
 def dedup_substrings(docs: DataFrame, window: int = 32,
-                     min_count: int = 2) -> DataFrame:
+                     min_count: int = 2,
+                     span_hash: str = "md5") -> DataFrame:
     """Exact substring dedup (the ExactSubstr pass of "Deduplicating
     Training Data Makes Language Models Better", Lee et al. 2021,
     arXiv:2107.06499 — public paper): every ``window``-token span
@@ -728,20 +729,89 @@ def dedup_substrings(docs: DataFrame, window: int = 32,
     across millions of pages pre-combine per map task); the hit join
     back is a shuffle equi-join on the same key (AQE skew-split
     applies), then one collect_set per doc bounded by the doc's own
-    token count.  No corpus-proportional broadcast anywhere.  At
-    prod, swap md5 for xxhash64 to cut exchange width 4x (md5 is
-    kept here because the DuckDB value oracle replays it); the
+    token count.  No corpus-proportional broadcast anywhere.  The
     reconstruction HOF is O(n_tok x n_dup_spans) per doc, bounded by
-    the length filter any crawl corpus applies upstream."""
+    the length filter any crawl corpus applies upstream.
+
+    ``span_hash`` selects the span key: ``"md5"`` (default — the
+    DuckDB value oracle replays it byte-for-byte) or ``"xxhash64"``
+    (prod form: an 8-byte bigint key instead of a 32-char hex string;
+    same duplicated-span set modulo hash collisions).  Measured
+    head-to-head at 400k docs (SCALE_rehearsal.json): xxhash64 is
+    2.0x faster wall and 1.7x narrower on the wire (2.14 GB vs
+    3.67 GB shuffle write) — NOT the naive 4x key-width ratio,
+    because doc_id+start+row overhead amortize the key and LZ4
+    compresses hex md5 harder than random bigints.
+
+    A third form, ``span_hash="poly"``, skips window-string
+    construction entirely: each TOKEN is hashed once to a 31-bit int
+    (the same char fold as doc_fingerprint), and each window key is a
+    two-base polynomial fold over the token-int slice — 2 bigint
+    mul+mod per element instead of copying ~w·avg_token bytes into a
+    string and md5-ing it, removing the ~w× hash-input write
+    amplification.  Key = h1·2^31 + h2 (62 bits effective, products
+    stay < 2^62: ANSI-safe).  pytest proves poly ≡ md5 output on
+    corpus text — but the 400k rehearsal REJECTED it for prod:
+    4048s vs md5's 1061s and xxhash64's 574s (SCALE_rehearsal.json).
+    The theory double-counted who pays: ``concat_ws + xxhash64`` is
+    one tight codegen'd memcpy+hash loop over the slice, while the
+    struct-accumulator ``F.aggregate`` fold evaluates a branchy
+    two-field lambda per element with no whole-stage fusion across
+    the nested HOFs — per-element interpreter overhead dwarfs the
+    byte-copy it saves.  Kept as the collision-free-key reference
+    form (62-bit keys, no string build) and a measured warning:
+    nested HOF folds are NOT cheaper than built-in hash kernels.
+
+    The windows frame feeds BOTH the duplicate-count agg and the hit
+    join, so the minhash-shingle precedent suggests persisting it —
+    MEASURED AND REJECTED (SCALE_rehearsal.json, 400k planted docs):
+    MEMORY_AND_DISK persist made the md5 form 1141s vs 990s unpersisted
+    (+15%) — a 67.6M-row deserialized row cache plus its GC pressure
+    costs more than recomputing the stride-1 window hashes, unlike the
+    shingle frame whose THREE consumers amortize it.  Recompute wins
+    at two consumers; both shuffles are on the same key either way."""
+    M = 2147483647  # 2^31-1, the doc_fingerprint modulus
+    B1, B2 = 1000003, 999983
     toks_df = docs.select("doc_id", tokens_col().alias("_toks"))
     tk = F.col("_toks")
+    if span_hash == "poly":
+        # one 31-bit char-fold per token, materialized as a column so
+        # the per-window slices reference it (never re-fold: CSE trap)
+        toks_df = toks_df.withColumn(
+            "_th", F.transform(tk, lambda t: F.aggregate(
+                F.split(t, ""), F.lit(0).cast("bigint"),
+                lambda acc, c: (acc * 31 + F.ascii(c)) % M)))
+        th = F.col("_th")
+
+        def _win_key(i):
+            acc0 = F.struct(
+                F.lit(0).cast("bigint").alias("a"),
+                F.lit(0).cast("bigint").alias("b"))
+            return F.aggregate(
+                F.slice(th, i + 1, window), acc0,
+                lambda acc, x: F.struct(
+                    ((acc["a"] * B1 + x) % M).alias("a"),
+                    ((acc["b"] * B2 + x) % M).alias("b")),
+                lambda acc: acc["a"] * F.lit(2147483648) + acc["b"])
+        empty_t = "array<bigint>"
+    elif span_hash == "md5":
+        def _win_key(i):
+            return F.md5(F.concat_ws(" ", F.slice(tk, i + 1, window)))
+        empty_t = "array<string>"
+    elif span_hash == "xxhash64":
+        def _win_key(i):
+            return F.xxhash64(
+                F.concat_ws(" ", F.slice(tk, i + 1, window)))
+        empty_t = "array<bigint>"
+    else:
+        raise ValueError(
+            f"span_hash must be md5|xxhash64|poly: {span_hash}")
     wins_arr = F.when(
         F.size(tk) >= window,
         F.transform(
             F.sequence(F.lit(0), F.size(tk) - window),
-            lambda i: F.md5(F.concat_ws(
-                " ", F.slice(tk, i + 1, window)))),
-    ).otherwise(F.array().cast("array<string>"))
+            _win_key),
+    ).otherwise(F.array().cast(empty_t))
     wins = (
         toks_df.select("doc_id", wins_arr.alias("_w"))
         .select("doc_id", F.posexplode("_w").alias("start", "h"))

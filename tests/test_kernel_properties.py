@@ -86,6 +86,33 @@ def test_never_crashes_on_arbitrary_input(s):
     extract(tree, MAIN_CONTENT)
 
 
+def test_tag_memo_no_attr_aliasing():
+    """The open-tag memo hands every node a PRIVATE attrs dict:
+    mutating one parse's attributes must never leak into the memo
+    template or into a later parse of the same tag body."""
+    from simple_html_parser_spark.kernel.selector import set_attribute
+    from simple_html_parser_spark.kernel import tokenizer as TK
+
+    html = '<div class="x" id="a"><p class="x">t</p></div>'
+    TK._TAG_MEMO.clear()
+    t1 = parse_html(html)
+    # nodes 1 (<div>) and 2 (<p>)... find the p node
+    p1 = next(i for i, nm in enumerate(t1.name) if nm == "p")
+    set_attribute(t1, p1, "class", "MUTATED")
+    set_attribute(t1, p1, "new", "v")
+    t2 = parse_html(html)
+    p2 = next(i for i, nm in enumerate(t2.name) if nm == "p")
+    assert t2.attrs[p2] == {"class": "x"}
+    # within one document too: two identical tags get distinct dicts
+    t3 = parse_html('<p class="x">a</p><p class="x">b</p>')
+    ps = [i for i, nm in enumerate(t3.name)
+          if nm == "p" and t3.type[i] == "tag-open"]
+    assert len(ps) == 2
+    assert t3.attrs[ps[0]] is not t3.attrs[ps[1]]
+    t3.attrs[ps[0]]["class"] = "zz"
+    assert t3.attrs[ps[1]]["class"] == "x"
+
+
 def test_void_elems_match_reference_list():
     assert VOID_ELEMS == frozenset(
         "img br hr input meta link area base col embed param source "

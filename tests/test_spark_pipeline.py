@@ -709,6 +709,126 @@ def test_dedup_substrings_matches_python_reference(spark):
     assert got == expected
 
 
+def test_dedup_substrings_hash_variants_equal(spark):
+    """The prod span key forms — xxhash64 (8-byte bigint) and poly
+    (two-base rolling fold over token char-hashes) — yield the same
+    deduped output as the oracle md5 form on real corpus text."""
+    from simple_html_parser_spark.operators import dedup as D
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(120))
+    a = {tuple(r) for r in
+         D.dedup_substrings(base, window=12).collect()}
+    b = {tuple(r) for r in
+         D.dedup_substrings(base, window=12,
+                            span_hash="xxhash64").collect()}
+    c = {tuple(r) for r in
+         D.dedup_substrings(base, window=12,
+                            span_hash="poly").collect()}
+    assert a == b == c and len(a) == 120
+    assert any(r[3] > 0 for r in a)
+
+
+def _fluency_reference(rows, min_count=2, cap=65535):
+    """Pure-Python replica of lm_fluency's integer semantics."""
+    from collections import Counter
+
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in rows}
+    lang = {r.doc_id: r.lang for r in rows}
+    bgs = {d: [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
+           for d, t in toks.items()}
+    cnt: Counter = Counter()
+    for d, bs in bgs.items():
+        for b in bs:
+            cnt[(lang[d], b)] += 1
+    lm = {k: c for k, c in cnt.items() if c >= min_count}
+    score = {}
+    for d, bs in bgs.items():
+        nb = len(bs)
+        sw = sum(min(lm[(lang[d], b)], cap).bit_length() - 1
+                 for b in bs if (lang[d], b) in lm)
+        score[d] = (nb, (10000 * sw) // (15 * nb) if nb else 0)
+    out = {}
+    for lg in set(lang.values()):
+        ds = [d for d in score if lang[d] == lg]
+        n = len(ds)
+        for d in ds:
+            c = sum(1 for e in ds if score[e][1] >= score[d][1])
+            bucket = ("head" if 3 * c <= n + 2 else
+                      "middle" if 3 * c <= 2 * n + 2 else "tail")
+            out[d] = (lg, score[d][0], score[d][1], bucket)
+    return out
+
+
+def test_lm_fluency_matches_python_reference(spark):
+    """Random two-language corpus vs the brute-force reference:
+    LM counts, floor-log2 weights, OOV=0, tertile-by-histogram."""
+    import random
+
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import fluency as FL
+
+    rng = random.Random(777)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [Row(doc_id=i,
+                lang="en" if i % 2 == 0 else "de",
+                text=" ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 25))))
+            for i in range(80)]
+    expected = _fluency_reference(rows)
+    got = {r.doc_id: (r.lang, r.n_bigrams, r.fluency_bp, r.bucket)
+           for r in FL.lm_fluency(spark.createDataFrame(rows)).collect()}
+    assert got == expected
+    assert {b for (_, _, _, b) in got.values()} == \
+        {"head", "middle", "tail"}
+
+
+def test_lm_fluency_edges_and_ref_frame(spark):
+    """Empty/1-token docs score 0; an LM trained on a disjoint
+    reference frame sends every doc to a single all-tail bucket."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import fluency as FL
+
+    rows = [Row(doc_id=1, lang="en", text=""),
+            Row(doc_id=2, lang="en", text="one"),
+            Row(doc_id=3, lang="en", text="x y x y x y x y"),
+            Row(doc_id=4, lang="en", text="x y x y q r s t"),
+            Row(doc_id=5, lang="en", text="p q r s t u v w")]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in FL.lm_fluency(df).collect()}
+    assert len(out) == 5
+    assert out[1].n_bigrams == 0 and out[1].fluency_bp == 0
+    assert out[2].n_bigrams == 0 and out[2].fluency_bp == 0
+    # doc 3 is pure repeated in-LM bigrams -> strictly best score
+    assert out[3].fluency_bp > out[4].fluency_bp > 0
+    assert out[3].bucket == "head"
+    assert out[1].bucket == "tail" and out[2].bucket == "tail"
+    # disjoint reference LM: every bigram OOV -> bp 0 for all -> every
+    # doc ties at c(0)=n -> all tail
+    ref = spark.createDataFrame(
+        [Row(doc_id=100, lang="en", text="zz ww zz ww zz ww")])
+    out2 = FL.lm_fluency(df, ref=ref).collect()
+    assert all(r.fluency_bp == 0 and r.bucket == "tail" for r in out2)
+
+
+def test_lm_fluency_partition_independent(spark):
+    """Same output at 1 and 13 partitions on real corpus text."""
+    from simple_html_parser_spark.operators import fluency as FL
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text", "lang").limit(150))
+    a = {tuple(r) for r in
+         FL.lm_fluency(base.repartition(1)).collect()}
+    b = {tuple(r) for r in
+         FL.lm_fluency(base.repartition(13)).collect()}
+    assert a == b and len(a) == 150
+    assert {r[4] for r in a} == {"head", "middle", "tail"}
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     """A doc sharing 3-grams with the benchmark slice is scored; the
     benchmark docs themselves are excluded from the output."""

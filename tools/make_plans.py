@@ -210,6 +210,16 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "bounded by the doc's own token count — no corpus-proportional "
      "broadcast, no window sort, no Python stage",
      ["HashAggregate"], ["Window", "MapInArrow", "MapInPandas"]),
+    ("lm_fluency",
+     "CCNet-style fluency: LM training is a map-side-combined "
+     "hash-agg on (lang, bigram); scoring is a co-partitioned "
+     "equi-join of the per-token bigram frame against the pruned LM "
+     "(AQE may broadcast it); the ONLY Window sorts the (lang, "
+     "fluency_bp) HISTOGRAM (<= 10001 rows/lang), never the corpus — "
+     "the bucket-label join back is an explicit broadcast; no Python "
+     "stage",
+     ["HashAggregate", "Window", "BroadcastHashJoin"],
+     ["MapInArrow", "MapInPandas", "CartesianProduct"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),

@@ -27,8 +27,19 @@ Plan stability: the formatted physical plan of dedup_minhash_lsh is
 compiled at 40k and at 400k and the Exchange node counts compared —
 corpus size must not change the plan shape.
 
-Usage: python3 tools/scale_rehearsal.py [out_json]
-Appends one JSON line per measurement; ~10-25 min total.
+A third arm probes exact-substring dedup (`dedup_substrings`) on the
+planted corpus: the twin pairs share a 190-token prefix, so with
+window=32 exactly 4000 docs (2000 bases + 2000 twins) must each lose
+exactly tokens 0..189 (the 159 stride-1 windows inside the shared
+prefix are corpus-duplicated; no other 32-token span repeats).  The
+arm is CLOSED-FORM correct at 400k, and runs twice — span_hash="md5"
+(oracle form, 32-char hex keys) vs "xxhash64" (prod form, 8-byte
+bigint keys) — so the "4x narrower exchange" claim in dedup.py is
+measured, not asserted.
+
+Usage: python3 tools/scale_rehearsal.py [out_json] [--only NAME...]
+  --only substr   run just the dedup_substrings arm
+Appends one JSON line per measurement; ~10-25 min total (full).
 """
 
 from __future__ import annotations
@@ -117,11 +128,73 @@ def exchange_count(df: DataFrame, spark) -> int:
     return len(re.findall(r"\n\(\d+\) Exchange", plan))
 
 
+def shuffle_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages (cheap
+    cumulative proxy for exchange width; diff before/after a job)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    args = [sc._jvm.java.util.ArrayList()] + [
+        getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    it = store.stageList(*args).iterator()
+    total = 0
+    while it.hasNext():
+        total += it.next().shuffleWriteBytes()
+    return int(total)
+
+
+def substr_arm(spark, results: list) -> None:
+    """dedup_substrings at 400k planted docs: closed-form correctness
+    (4000 docs x exactly 190 tokens removed) + md5-vs-xxhash64
+    exchange width and wall head-to-head."""
+    pl = planted(spark)
+    half, n_twins = N_DOCS // 2, (N_DOCS // 2) // PLANT_EVERY
+    for hname in ("md5", "xxhash64", "poly"):
+        spark.catalog.clearCache()
+        sw0 = shuffle_bytes(spark)
+        ctl0 = _host_control(400_000)
+        t0 = time.perf_counter()
+        agg = (D.dedup_substrings(pl, window=32, span_hash=hname)
+               .agg(F.sum((F.col("n_removed") > 0).cast("int"))
+                    .alias("docs_hit"),
+                    F.sum("n_removed").alias("tok_removed"),
+                    F.min(F.when(F.col("n_removed") > 0,
+                                 F.col("n_removed"))).alias("min_hit"),
+                    F.max("n_removed").alias("max_hit"),
+                    F.count("*").alias("rows")).collect()[0])
+        wall = round(time.perf_counter() - t0, 1)
+        ctl1 = _host_control(400_000)
+        ok = (agg.rows == N_DOCS and agg.docs_hit == 2 * n_twins
+              and agg.min_hit == SHARED and agg.max_hit == SHARED
+              and agg.tok_removed == 2 * n_twins * SHARED)
+        rec = {"name": f"plant400k_substr_{hname}", "wall_s": wall,
+               "rows": agg.rows, "docs_hit": agg.docs_hit,
+               "tok_removed": agg.tok_removed,
+               "closed_form_exact": ok,
+               "shuffle_write_bytes": shuffle_bytes(spark) - sw0,
+               "host_ctl": [ctl0, ctl1]}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_rehearsal.json"
+    args = [a for a in sys.argv[1:]]
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1:]
+        args = args[:i]
+    out_path = args[0] if args else "SCALE_rehearsal.json"
     spark = get_spark("scale-rehearsal", master="local[32]",
                       shuffle_partitions=64)
     results: list = []
+
+    if only:
+        if "substr" in only:
+            substr_arm(spark, results)
+        with open(out_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(results) + "\n")
+        spark.stop()
+        return
 
     # plan stability: 40k vs 400k must compile to the same shape
     small = replicated(spark, 8)
