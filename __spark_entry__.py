@@ -42,7 +42,9 @@ from simple_html_parser_spark.operators import dedup as D
 from simple_html_parser_spark.operators import editing as ED
 from simple_html_parser_spark.operators import queryapi as QA
 from simple_html_parser_spark.operators import domsql as DS
+from simple_html_parser_spark.operators import dsir as DI
 from simple_html_parser_spark.operators import fluency as FL
+from simple_html_parser_spark.operators import gopher as GO
 from simple_html_parser_spark.operators import linkgraph as LG
 from simple_html_parser_spark.operators import mixing as MX
 from simple_html_parser_spark.operators import multimodal as MM
@@ -223,6 +225,38 @@ def _synthetic_host_edges(docs: DataFrame) -> DataFrame:
     dst = idx.select(F.col("host").alias("dst_host"),
                      F.col("i").alias("di"))
     return e.join(dst, "di").select("src_host", "dst_host", "n_links")
+
+
+def _gopher_text():
+    """Deterministic doc_id-keyed multi-line rendering for the Gopher
+    line rules (the corpus text is single-line): doc_id%3==0 appends
+    two bullet lines + a plain line, %3==1 appends a '###' symbol run
+    + two ellipsis-terminated lines, %3==2 is unchanged.  Mirrored
+    character-for-character in the gopher_rules oracle CTE."""
+    return (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\n- alpha bullet\n- beta bullet"
+                              "\nplain closing line")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"),
+                       F.lit(" ###\ntrailing thought...\nanother one…")))
+        .otherwise(F.col("text"))
+    ).alias("text")
+
+
+_GOPHER_CTE = """
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+                            '- alpha bullet' || chr(10) ||
+                            '- beta bullet' || chr(10) ||
+                            'plain closing line'
+                        WHEN doc_id % 3 = 1 THEN text || ' ###' ||
+                            chr(10) || 'trailing thought...' ||
+                            chr(10) || 'another one…'
+                        ELSE text END AS text
+            FROM documents)"""
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -609,6 +643,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # score → head/middle/tail tertiles from the score HISTOGRAM
     q["lm_fluency"] = lambda spark, sf: FL.lm_fluency(
         _raw_docs(spark, sf).select("doc_id", "text", "lang"))
+    # Gopher §A1.1 rules (Rae et al. 2021): the corpus text is
+    # single-line, so a deterministic doc_id-keyed rendering appends
+    # bullet/ellipsis/symbol lines to exercise every rule branch —
+    # the oracle replays the rendering character-for-character
+    q["gopher_rules"] = lambda spark, sf: GO.gopher_rules(
+        _raw_docs(spark, sf).select("doc_id", _gopher_text()),
+        min_words=20)
+    # DSIR (Xie et al. 2023): hashed-bigram importance weights of the
+    # lang='en' slice (target) over the whole corpus (raw)
+    q["dsir_weights"] = lambda spark, sf: DI.dsir_weights(
+        _raw_docs(spark, sf).select("doc_id", "text"),
+        _raw_docs(spark, sf).filter(F.col("lang") == "en")
+        .select("doc_id", "text"),
+        n_buckets=1024)
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -2061,4 +2109,112 @@ def oracle_sql() -> dict[str, str]:
                   FROM hist))
         SELECT d.doc_id, d.lang, d.n_bigrams, d.fluency_bp, l.bucket
         FROM docs_s d JOIN lab l USING (lang, fluency_bp)"""
+
+    # Gopher §A1.1 rules over the deterministic multi-line rendering
+    # (_GOPHER_CTE mirrors _gopher_text); every ratio is an integer
+    # div and every threshold a cross-multiplied integer comparison,
+    # exactly as in operators/gopher.py
+    o["gopher_rules"] = f"""
+        WITH {_GOPHER_CTE},
+        s AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '[ \n]'),
+                               x -> x <> '') AS w,
+                   string_split(text, chr(10)) AS l
+            FROM g),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS nw,
+                   CAST(len(l) AS BIGINT) AS nl,
+                   CAST(coalesce(list_sum(
+                       list_transform(w, x -> length(x))), 0)
+                       AS BIGINT) AS twc,
+                   CAST(length(text) -
+                        length(replace(text, '#', '')) AS BIGINT) AS nh,
+                   CAST((length(text) -
+                         length(replace(text, '...', ''))) // 3
+                        AS BIGINT) AS ne,
+                   CAST(len(list_filter(l,
+                        x -> substring(x, 1, 1) IN ('-', '*', '•')))
+                        AS BIGINT) AS nbl,
+                   CAST(len(list_filter(l,
+                        x -> ends_with(x, '...') OR ends_with(x, '…')))
+                        AS BIGINT) AS nel,
+                   CAST(len(list_filter(w,
+                        x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS BIGINT) AS naw,
+                   CAST(len(list_intersect(w,
+                        ['the', 'be', 'to', 'of', 'and', 'that',
+                         'have', 'with'])) AS BIGINT) AS nsh
+            FROM s)
+        SELECT doc_id,
+               nw AS n_words,
+               nl AS n_lines,
+               100 * twc // greatest(nw, 1) AS mean_word_len_x100,
+               10000 * nh // greatest(nw, 1) AS hash_word_bp,
+               10000 * ne // greatest(nw, 1) AS ellipsis_word_bp,
+               10000 * nbl // greatest(nl, 1) AS bullet_line_bp,
+               10000 * nel // greatest(nl, 1) AS ellipsis_line_bp,
+               10000 * naw // greatest(nw, 1) AS alpha_word_bp,
+               nsh AS n_stop_hits,
+               (nw >= 20 AND nw <= 100000
+                AND twc >= 3 * nw AND twc <= 10 * nw
+                AND 10 * nh <= nw AND 10 * ne <= nw
+                AND 10 * nbl <= 9 * nl AND 10 * nel <= 3 * nl
+                AND 5 * naw >= 4 * nw AND nsh >= 2) AS passes
+        FROM m"""
+
+    # DSIR hashed-bigram importance weights: bucket = the
+    # doc_fingerprint char fold mod 2^31-1 mod 1024 over each bigram;
+    # weight = floor-log2(target_count+1) - floor-log2(raw_count+1)
+    # with floor-log2 corpus-size normalizers; selected = score >= 0
+    # (DuckDB // and Spark div both truncate toward zero — checked)
+    o["dsir_weights"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS b
+            FROM toks WHERE len(t) >= 2),
+        bk AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(b) + 1),
+                               i -> CAST(ascii(b[i]) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647
+                   ) % 1024 AS bkt
+            FROM bg),
+        tgt AS (
+            SELECT bk.bkt FROM bk JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'),
+        rc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY bkt),
+        tc AS (SELECT bkt, count(*) AS c FROM tgt GROUP BY bkt),
+        tot AS (SELECT (SELECT count(*) FROM bk) AS rt,
+                       (SELECT count(*) FROM tgt) AS tt),
+        w AS (
+            SELECT rc.bkt,
+                   CAST((length(bin(coalesce(tc.c, 0) + 1)) - 1) -
+                        (length(bin(rc.c + 1)) - 1) AS BIGINT) AS w
+            FROM rc LEFT JOIN tc USING (bkt)),
+        sc AS (
+            SELECT bk.doc_id,
+                   CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(w.w) AS BIGINT) AS sw
+            FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id),
+        fin AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sc.sw + sc.nb *
+                        ((length(bin(tot.rt + 1)) - 1) -
+                         (length(bin(tot.tt + 1)) - 1)), 0)
+                        AS BIGINT) AS dsir_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            CROSS JOIN tot)
+        SELECT doc_id, n_bigrams, dsir_score,
+               100 * dsir_score // greatest(n_bigrams, 1)
+                   AS avg_score_x100,
+               (n_bigrams > 0 AND dsir_score >= 0) AS selected
+        FROM fin"""
     return o

@@ -1,0 +1,113 @@
+"""Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher",
+arXiv:2112.11446 §A1.1 — the public filtering recipe used, with
+variations, by MassiveText / RefinedWeb / FineWeb / Dolma):
+
+1. word count in [min_words, max_words] (paper: 50..100,000);
+2. mean word length in [3, 10] characters;
+3. symbol-to-word ratio <= 0.1 for BOTH '#' and '...' (ellipsis);
+4. <= 90% of lines start with a bullet ('-', '*', '•');
+5. <= 30% of lines end with an ellipsis ('...' or '…');
+6. >= 80% of words contain at least one alphabetic character;
+7. document contains >= 2 distinct Gopher stop words
+   (the, be, to, of, and, that, have, with).
+
+Everything is a per-row codegen'd column projection — NO shuffle, no
+Python stage, no join: at 10^12 docs this is a pure map over the scan
+(the same shape as quality_score / repetition_stats).  All signals are
+INTEGER basis points / scaled integers so the DuckDB value oracle
+replays them bit-for-bit (floats-across-engines rule, CLAUDE.md):
+every division is an integer ``div``, and every pass/fail threshold is
+a cross-multiplied integer comparison with no division at all.
+
+Words are split on [ \\n] (space or newline) with empties dropped —
+the line rules need newline-aware words, unlike the single-space
+``tokens_col`` the dedup family mirrors into its oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher §A1.1 "stop words" (quality proxy, NOT a stopword-removal
+# list): a doc must contain at least 2 of these.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+BULLETS = ("-", "*", "•")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference —
+    identical left-to-right semantics in Spark and DuckDB replace()."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle))))
+        .cast("bigint") / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def gopher_rules(docs: DataFrame,
+                 min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """(doc_id, n_words, n_lines, mean_word_len_x100, hash_word_bp,
+    ellipsis_word_bp, bullet_line_bp, ellipsis_line_bp, alpha_word_bp,
+    n_stop_hits, passes) — the seven Gopher rules as integer signals
+    plus the composite verdict.  ``min_words`` defaults to the paper's
+    50; callers tune per corpus."""
+    words = F.col("_w")
+    lines = F.col("_l")
+
+    base = (
+        docs
+        .withColumn("_w", F.filter(
+            F.split(F.col("text"), "[ \n]"), lambda x: x != ""))
+        .withColumn("_l", F.split(F.col("text"), "\n"))
+        .withColumn("_nw", F.size(words).cast("bigint"))
+        .withColumn("_nl", F.size(lines).cast("bigint"))
+        .withColumn("_twc", F.aggregate(
+            words, F.lit(0).cast("bigint"),
+            lambda a, w: a + F.length(w)))
+        .withColumn("_nh", _count_occurrences(F.col("text"), "#"))
+        .withColumn("_ne", _count_occurrences(F.col("text"), "..."))
+        .withColumn("_nbl", F.size(F.filter(
+            lines, lambda ln: F.substring(ln, 1, 1).isin(*BULLETS))
+        ).cast("bigint"))
+        .withColumn("_nel", F.size(F.filter(
+            lines, lambda ln: ln.endswith("...") | ln.endswith("…"))
+        ).cast("bigint"))
+        .withColumn("_naw", F.size(F.filter(
+            words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint"))
+        .withColumn("_nsh", F.size(F.array_intersect(
+            words, F.array(*[F.lit(s) for s in GOPHER_STOPS])
+        )).cast("bigint"))
+    )
+    nw, nl = F.col("_nw"), F.col("_nl")
+    twc = F.col("_twc")
+    passes = (
+        (nw >= min_words) & (nw <= max_words)
+        & (twc >= 3 * nw) & (twc <= 10 * nw)
+        & (10 * F.col("_nh") <= nw)
+        & (10 * F.col("_ne") <= nw)
+        & (10 * F.col("_nbl") <= 9 * nl)
+        & (10 * F.col("_nel") <= 3 * nl)
+        & (5 * F.col("_naw") >= 4 * nw)
+        & (F.col("_nsh") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        nl.alias("n_lines"),
+        F.expr("100 * _twc div greatest(_nw, 1)")
+        .alias("mean_word_len_x100"),
+        F.expr("10000 * _nh div greatest(_nw, 1)").alias("hash_word_bp"),
+        F.expr("10000 * _ne div greatest(_nw, 1)")
+        .alias("ellipsis_word_bp"),
+        F.expr("10000 * _nbl div greatest(_nl, 1)")
+        .alias("bullet_line_bp"),
+        F.expr("10000 * _nel div greatest(_nl, 1)")
+        .alias("ellipsis_line_bp"),
+        F.expr("10000 * _naw div greatest(_nw, 1)")
+        .alias("alpha_word_bp"),
+        F.col("_nsh").alias("n_stop_hits"),
+        passes.alias("passes"),
+    )

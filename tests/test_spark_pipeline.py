@@ -829,6 +829,175 @@ def test_lm_fluency_partition_independent(spark):
     assert {r[4] for r in a} == {"head", "middle", "tail"}
 
 
+def _gopher_reference(rows, min_words=20):
+    """Pure-Python replica of gopher_rules' integer semantics."""
+    import re
+
+    from simple_html_parser_spark.operators.gopher import GOPHER_STOPS
+
+    out = {}
+    for r in rows:
+        text = r.text
+        words = [w for w in re.split(r"[ \n]", text) if w]
+        lines = text.split("\n")
+        nw, nl = len(words), len(lines)
+        twc = sum(len(w) for w in words)
+        nh = len(text) - len(text.replace("#", ""))
+        ne = (len(text) - len(text.replace("...", ""))) // 3
+        nbl = sum(1 for ln in lines if ln[:1] in ("-", "*", "•"))
+        nel = sum(1 for ln in lines
+                  if ln.endswith("...") or ln.endswith("…"))
+        naw = sum(1 for w in words if re.search("[a-zA-Z]", w))
+        nsh = len(set(words) & set(GOPHER_STOPS))
+        passes = (min_words <= nw <= 100000
+                  and 3 * nw <= twc <= 10 * nw
+                  and 10 * nh <= nw and 10 * ne <= nw
+                  and 10 * nbl <= 9 * nl and 10 * nel <= 3 * nl
+                  and 5 * naw >= 4 * nw and nsh >= 2)
+        out[r.doc_id] = (
+            nw, nl, 100 * twc // max(nw, 1),
+            10000 * nh // max(nw, 1), 10000 * ne // max(nw, 1),
+            10000 * nbl // max(nl, 1), 10000 * nel // max(nl, 1),
+            10000 * naw // max(nw, 1), nsh, passes)
+    return out
+
+
+def test_gopher_rules_matches_python_reference(spark):
+    """Handcrafted docs hitting every rule branch (bullets, ellipsis
+    lines, symbol runs, non-alpha words, stopword misses, too-short,
+    too-long words) vs the brute-force reference."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import gopher as GO
+
+    good = ("the quick brown fox jumps with vigor and grace that "
+            "nobody doubts of course have faith ") * 3
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="tiny doc the of"),                 # too short
+        Row(doc_id=3, text=good + "\n- a\n- b\n- c\n- d\n- e"
+                           "\n- f\n- g\n- h\n- i\n- j"),       # bullets>90%? lines mostly bullets
+        Row(doc_id=4, text=good + "\nwind up...\nmore...\nyes…"),
+        Row(doc_id=5, text=good + " " + "# " * 30),            # symbol ratio
+        Row(doc_id=6, text="the of and that " + "123 456 " * 20),  # alpha<80%
+        Row(doc_id=7, text=("zz " * 60).strip()),              # no stop hits
+        Row(doc_id=8, text=""),
+        Row(doc_id=9, text=("supercalifragilistic " * 25).strip()
+                           + " the of"),                       # mean len>10
+    ]
+    expected = _gopher_reference(rows)
+    got = {r.doc_id: tuple(r)[1:] for r in GO.gopher_rules(
+        spark.createDataFrame(rows), min_words=20).collect()}
+    assert got == expected
+    assert got[1][-1] is True          # the clean doc passes
+    for d in (2, 5, 6, 7, 8, 9):       # each trap trips its rule
+        assert got[d][-1] is False, d
+
+
+def test_gopher_rules_partition_independent(spark):
+    from simple_html_parser_spark.operators import gopher as GO
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(150))
+    a = {tuple(r) for r in
+         GO.gopher_rules(base.repartition(1), min_words=20).collect()}
+    b = {tuple(r) for r in
+         GO.gopher_rules(base.repartition(13), min_words=20).collect()}
+    assert a == b and len(a) == 150
+
+
+def _dsir_reference(rows, target_ids, n_buckets=64):
+    """Pure-Python replica of dsir_weights' integer semantics."""
+    from collections import Counter
+
+    def fold(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc % n_buckets
+
+    def bl(x):
+        return (x + 1).bit_length() - 1
+
+    bgs = {}
+    for r in rows:
+        t = [x for x in r.text.split(" ") if x]
+        bgs[r.doc_id] = [fold(t[i] + " " + t[i + 1])
+                         for i in range(len(t) - 1)]
+    raw = Counter(b for bs in bgs.values() for b in bs)
+    tgt = Counter(b for d, bs in bgs.items()
+                  if d in target_ids for b in bs)
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for d, bs in bgs.items():
+        nb = len(bs)
+        if nb == 0:
+            out[d] = (0, 0, 0, False)
+            continue
+        score = sum(bl(tgt.get(b, 0)) - bl(raw[b]) for b in bs) \
+            + nb * (bl(rt) - bl(tt))
+        q = abs(100 * score) // nb  # div truncates toward zero
+        out[d] = (nb, score, q if score >= 0 else -q, score >= 0)
+    return out
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    """Two-domain corpus: target-domain docs must score higher and be
+    selected; integer log2 weights, normalizers, trunc-div avg."""
+    import random
+
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import dsir as DI
+
+    rng = random.Random(4242)
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    raw_vocab = ["omega", "sigma", "kappa", "zeta"]
+    shared = ["the", "and"]
+    rows = []
+    for i in range(60):
+        v = (tgt_vocab if i % 2 == 0 else raw_vocab) + shared
+        rows.append(Row(doc_id=i, text=" ".join(
+            rng.choice(v) for _ in range(rng.randint(0, 30)))))
+    target_ids = {i for i in range(60) if i % 2 == 0}
+    expected = _dsir_reference(rows, target_ids)
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: (r.n_bigrams, r.dsir_score, r.avg_score_x100,
+                      r.selected)
+           for r in DI.dsir_weights(
+               df, df.filter(F.col("doc_id") % 2 == 0),
+               n_buckets=64).collect()}
+    assert got == expected
+    sel = {d for d, v in got.items() if v[3]}
+    # the target slice is systematically favored
+    tgt_scored = [d for d in target_ids if got[d][0] > 0]
+    assert len(sel & target_ids) >= len(tgt_scored) * 2 // 3
+    assert any(not v[3] and v[0] > 0 for d, v in got.items()
+               if d not in target_ids)
+
+
+def test_dsir_weights_partition_independent(spark):
+    from simple_html_parser_spark.operators import dsir as DI
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text", "lang").limit(150))
+    docs = base.select("doc_id", "text")
+    tgt = base.filter(F.col("lang") == "en").select("doc_id", "text")
+    a = {tuple(r) for r in DI.dsir_weights(
+        docs.repartition(1), tgt, n_buckets=256).collect()}
+    b = {tuple(r) for r in DI.dsir_weights(
+        docs.repartition(13), tgt.repartition(7),
+        n_buckets=256).collect()}
+    assert a == b and len(a) == 150
+    # the corpus shares ONE vocabulary across all 5 languages, so the
+    # en-target model can't discriminate by content — scores must
+    # still vary (bucket collisions) and stay deterministic; the
+    # two-domain synthetic test above is where selection splits
+    assert len({r[2] for r in a}) > 1
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     """A doc sharing 3-grams with the benchmark slice is scored; the
     benchmark docs themselves are excluded from the output."""

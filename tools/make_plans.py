@@ -220,6 +220,20 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "stage",
      ["HashAggregate", "Window", "BroadcastHashJoin"],
      ["MapInArrow", "MapInPandas", "CartesianProduct"]),
+    ("gopher_rules",
+     "Gopher quality rules are ONE codegen'd projection over the "
+     "pruned scan — no shuffle, no join, no aggregate, no Python "
+     "stage (the same zero-shuffle shape as quality_score)",
+     ["Project"], ["Exchange", "HashAggregate", "Window",
+                   "MapInArrow", "MapInPandas", "CartesianProduct"]),
+    ("dsir_weights",
+     "DSIR hashed-bigram importance weights: BOTH count tables are "
+     "bounded at n_buckets rows (map-side-combined hash-aggs), so "
+     "the weight table joins the corpus bigrams via "
+     "BroadcastHashJoin; corpus-side shuffle is only the per-doc "
+     "groupBy(doc_id); no window, no Python stage",
+     ["HashAggregate", "BroadcastHashJoin"],
+     ["Window", "MapInArrow", "MapInPandas", "CartesianProduct"]),
     ("q1_pricing",
      "partial HashAggregate before exchange (map-side combine)",
      ["HashAggregate"], []),
