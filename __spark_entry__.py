@@ -647,9 +647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # single-line, so a deterministic doc_id-keyed rendering appends
     # bullet/ellipsis/symbol lines to exercise every rule branch —
     # the oracle replays the rendering character-for-character
+    # stops=('the','a'): the synthetic corpus vocabulary contains only
+    # 'the' from the paper's English stop list, so the corpus-adapted
+    # list keeps rule 7 (>=2 distinct stops) non-vacuous — 204/500
+    # docs pass at sf0.01 (the paper list stays the operator default)
     q["gopher_rules"] = lambda spark, sf: GO.gopher_rules(
         _raw_docs(spark, sf).select("doc_id", _gopher_text()),
-        min_words=20)
+        min_words=20, stops=("the", "a"))
     # DSIR (Xie et al. 2023): hashed-bigram importance weights of the
     # lang='en' slice (target) over the whole corpus (raw)
     q["dsir_weights"] = lambda spark, sf: DI.dsir_weights(
@@ -657,6 +661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _raw_docs(spark, sf).filter(F.col("lang") == "en")
         .select("doc_id", "text"),
         n_buckets=1024)
+    # the full modern recipe (curate_web + Gopher gate + CCNet
+    # fluency tail-drop) as one plan, over the contact-augmented
+    # corpus; gopher stops corpus-adapted as in gopher_rules
+    q["curate_full"] = lambda spark, sf: CU.curate_full(
+        with_contacts(_raw_docs(spark, sf)),
+        gopher_min_words=20, gopher_stops=("the", "a"))
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -2144,8 +2154,7 @@ def oracle_sql() -> dict[str, str]:
                         x -> regexp_matches(x, '[a-zA-Z]')))
                         AS BIGINT) AS naw,
                    CAST(len(list_intersect(w,
-                        ['the', 'be', 'to', 'of', 'and', 'that',
-                         'have', 'with'])) AS BIGINT) AS nsh
+                        ['the', 'a'])) AS BIGINT) AS nsh
             FROM s)
         SELECT doc_id,
                nw AS n_words,
@@ -2217,4 +2226,169 @@ def oracle_sql() -> dict[str, str]:
                    AS avg_score_x100,
                (n_bigrams > 0 AND dsir_score >= 0) AS selected
         FROM fin"""
+
+    # the full recipe: scrub → Gopher gate (stops=['the','a'],
+    # min_words=20) → lang/quality/OOV → fluency tail-drop → exact +
+    # near dedup.  EVERY corpus-relative cut (shingle df, vocab head)
+    # counts the GOPHER SURVIVORS (s), mirroring curate_full's
+    # oov_stats(docs3)/dedup_clusters(docs3, 'auto'); the fluency LM
+    # trains on the survivors too.
+    o["curate_full"] = f"""
+        WITH RECURSIVE {_AUG_CTE},
+        s0 AS (SELECT doc_id, lang,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                         '{PII.PII_EMAIL}', '<EMAIL>', 'g'),
+                         '{PII.PII_IPV4}', '<IP>', 'g'),
+                         '{PII.PII_PHONE}', '<PHONE>', 'g') AS text
+              FROM aug),
+        gm AS (
+            SELECT doc_id,
+                   CAST(len(gw) AS BIGINT) AS nw,
+                   CAST(len(gl) AS BIGINT) AS nl,
+                   CAST(coalesce(list_sum(
+                       list_transform(gw, x -> length(x))), 0)
+                       AS BIGINT) AS twc,
+                   CAST(length(text) -
+                        length(replace(text, '#', '')) AS BIGINT) AS nh,
+                   CAST((length(text) -
+                         length(replace(text, '...', ''))) // 3
+                        AS BIGINT) AS ne,
+                   CAST(len(list_filter(gl,
+                        x -> substring(x, 1, 1) IN ('-', '*', '•')))
+                        AS BIGINT) AS nbl,
+                   CAST(len(list_filter(gl,
+                        x -> ends_with(x, '...') OR ends_with(x, '…')))
+                        AS BIGINT) AS nel,
+                   CAST(len(list_filter(gw,
+                        x -> regexp_matches(x, '[a-zA-Z]')))
+                        AS BIGINT) AS naw,
+                   CAST(len(list_intersect(gw,
+                        ['the', 'a'])) AS BIGINT) AS nsh
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split_regex(text, '[ \n]'),
+                                     x -> x <> '') AS gw,
+                         string_split(text, chr(10)) AS gl
+                  FROM s0)),
+        s AS (
+            SELECT s0.* FROM s0 JOIN gm USING (doc_id)
+            WHERE gm.nw >= 20 AND gm.nw <= 100000
+              AND gm.twc >= 3 * gm.nw AND gm.twc <= 10 * gm.nw
+              AND 10 * gm.nh <= gm.nw AND 10 * gm.ne <= gm.nw
+              AND 10 * gm.nbl <= 9 * gm.nl
+              AND 10 * gm.nel <= 3 * gm.nl
+              AND 5 * gm.naw >= 4 * gm.nw AND gm.nsh >= 2),
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s),
+        fbg AS (
+            SELECT t2.doc_id, s.lang,
+                   unnest(list_transform(range(1, len(t2.t)),
+                          i -> t2.t[i] || ' ' || t2.t[i+1])) AS b
+            FROM toks t2 JOIN s USING (doc_id)
+            WHERE len(t2.t) >= 2),
+        flm AS (
+            SELECT lang, b, count(*) AS c FROM fbg
+            GROUP BY lang, b HAVING count(*) >= 2),
+        fsc AS (
+            SELECT fbg.doc_id,
+                   CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(CASE WHEN flm.c IS NULL THEN 0
+                            ELSE length(bin(least(flm.c, 65535))) - 1
+                            END) AS BIGINT) AS sw
+            FROM fbg LEFT JOIN flm USING (lang, b)
+            GROUP BY fbg.doc_id),
+        fds AS (
+            SELECT s.doc_id, s.lang,
+                   CAST(CASE WHEN coalesce(f.nb, 0) = 0 THEN 0
+                        ELSE (10000 * f.sw) // (15 * f.nb)
+                        END AS BIGINT) AS fluency_bp
+            FROM s LEFT JOIN fsc f USING (doc_id)),
+        fhist AS (
+            SELECT lang, fluency_bp, count(*) AS hc
+            FROM fds GROUP BY lang, fluency_bp),
+        flab AS (
+            SELECT lang, fluency_bp,
+                   CASE WHEN 3 * c_ge <= n + 2 THEN 'head'
+                        WHEN 3 * c_ge <= 2 * n + 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (SELECT lang, fluency_bp,
+                         sum(hc) OVER (PARTITION BY lang
+                                       ORDER BY fluency_bp DESC) AS c_ge,
+                         sum(hc) OVER (PARTITION BY lang) AS n
+                  FROM fhist)),
+        flu AS (
+            SELECT d.doc_id, d.fluency_bp, l.bucket
+            FROM fds d JOIN flab l USING (lang, fluency_bp)),
+        shl AS (SELECT doc_id, {_SHINGLES_SQL} AS sl FROM toks),
+        ex AS (SELECT doc_id, unnest(sl) AS sh FROM shl),
+        hot AS (SELECT sh FROM ex GROUP BY sh
+                HAVING count(*) > greatest(
+                    CAST({D.AUTO_DF_FLOOR} AS BIGINT),
+                    CAST(floor({D.AUTO_DF_FRACTION}
+                         * (SELECT count(*) FROM s)) AS BIGINT))),
+        exf AS (SELECT e.doc_id, e.sh FROM ex e
+                ANTI JOIN hot h USING (sh)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.30),
+        edges AS (SELECT doc_a, doc_b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, other) AS (
+            SELECT doc_a, doc_b FROM edges
+            UNION
+            SELECT r.doc_id, e.doc_b FROM reach r
+            JOIN edges e ON e.doc_a = r.other),
+        losers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, least(doc_id, min(other)) AS cid
+                FROM reach GROUP BY doc_id)
+            WHERE doc_id <> cid),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY text),
+        qb AS (
+            SELECT doc_id,
+                   (least(CAST(length(text) AS BIGINT) * 20, 10000)
+                    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                 'g')) AS BIGINT)
+                      * 10000 // greatest(length(text), 1)) // 2
+                   - CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                                                'g')) AS BIGINT)
+                     * 10000 // greatest(length(text), 1) AS quality_bp
+            FROM s),
+        lranked AS (
+            SELECT doc_id, st.lang AS pred_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY len(list_intersect(t, st.words))
+                                DESC, st.lang DESC) AS rk
+            FROM toks, (VALUES {stop_sql}) AS st(lang, words)),
+        lp AS (SELECT doc_id, pred_lang FROM lranked WHERE rk = 1),
+        exall AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        head AS (SELECT tok
+                 FROM (SELECT DISTINCT doc_id, tok FROM exall)
+                 GROUP BY tok
+                 HAVING count(*) > greatest(CAST(50 AS BIGINT),
+                     CAST(floor(0.01 * (SELECT count(*)
+                                        FROM s)) AS BIGINT))),
+        ost AS (SELECT doc_id,
+                       (count(*) FILTER
+                            (WHERE tok NOT IN (SELECT tok FROM head)))
+                           * 10000 // count(*) AS oov_bp
+                FROM exall GROUP BY doc_id)
+        SELECT d.doc_id, lp.pred_lang,
+               CAST(qb.quality_bp AS BIGINT) AS quality_bp,
+               ost.oov_bp, flu.fluency_bp, flu.bucket
+        FROM s d
+        JOIN lp USING (doc_id)
+        JOIN qb USING (doc_id)
+        JOIN ost USING (doc_id)
+        JOIN flu USING (doc_id)
+        WHERE lp.pred_lang = d.lang AND qb.quality_bp >= 5500
+          AND ost.oov_bp <= 600 AND flu.bucket <> 'tail'
+          AND d.doc_id IN (SELECT doc_id FROM keepers)
+          AND d.doc_id NOT IN (SELECT doc_id FROM losers)"""
     return o

@@ -159,7 +159,8 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_lines", "decontaminate", "crawl_dedup_latest",
         "crawl_domain_sample", "crawl_domain_quota", "pii_scrub",
         "oov_stats",
-        "curation_pipeline", "curate_web", "binary_meta",
+        "curation_pipeline", "curate_web", "curate_full",
+        "lm_fluency", "gopher_rules", "dsir_weights", "binary_meta",
         "image_features",
         "audio_features", "pdf_text_extract", "css_serialize_api",
         "kernel_iterator_api",

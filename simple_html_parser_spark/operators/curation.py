@@ -137,3 +137,58 @@ def curate_web(
     return _curate_filtered(
         docs2, base, ["doc_id", "pred_lang", "quality_bp", "oov_bp"],
         near_dup_threshold)
+
+
+def curate_full(
+    docs: DataFrame,
+    quality_min_bp: int = 5500,
+    oov_max_bp: int = 600,
+    near_dup_threshold: float = 0.30,
+    gopher_min_words: int = 50,
+    gopher_stops: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """curate_web extended with the r5 filter tiers — the full modern
+    recipe (RefinedWeb/FineWeb shape) as ONE declarative plan:
+
+        documents
+          → PII scrub          (emails/IPs/phones → placeholders)
+          → Gopher rules       (Rae et al. 2021 §A1.1, INLINE filter)
+          → language agreement (prediction == declared lang)
+          → quality floor      (quality_bp ≥ cutoff)
+          → OOV ceiling        (oov_bp ≤ cutoff vs the survivor head)
+          → fluency tail-drop  (CCNet bucket != 'tail')
+          → exact dedup        (keep min doc_id per scrubbed text)
+          → near-dup dedup     (keep each LSH cluster's min doc_id)
+
+    Stage ORDER is the scale story: the Gopher gate is a zero-shuffle
+    codegen filter (gopher_filter — never a self-join), so it runs
+    FIRST and every aggregating stage (OOV head, fluency LM, both
+    dedups) pays only for its survivors — on a real crawl the cheap
+    rules drop 30-60% of bytes before anything shuffles.  The fluency
+    stage is the only genuinely new join: the per-(lang, bigram) LM
+    hash-agg + histogram-tertile machinery of lm_fluency, arriving as
+    an aggregating extra_frame exactly like oov_stats.  Returns
+    (doc_id, pred_lang, quality_bp, oov_bp, fluency_bp, bucket)."""
+    from .fluency import lm_fluency
+    from .gopher import GOPHER_STOPS, gopher_filter
+    from .pii import scrub_col
+    from .textstats import oov_stats
+
+    docs2 = docs.select("doc_id", "lang",
+                        scrub_col(F.col("text")).alias("text"))
+    docs3 = gopher_filter(
+        docs2, min_words=gopher_min_words,
+        stops=GOPHER_STOPS if gopher_stops is None else gopher_stops)
+    flu = lm_fluency(docs3.select("doc_id", "text", "lang")) \
+        .select("doc_id", "fluency_bp", "bucket")
+    base = _quality_lang_base(
+        docs3, quality_min_bp,
+        extra=(F.col("oov_bp") <= oov_max_bp)
+        & (F.col("bucket") != "tail"),
+        extra_frames=[oov_stats(docs3).select("doc_id", "oov_bp"),
+                      flu])
+    return _curate_filtered(
+        docs3, base,
+        ["doc_id", "pred_lang", "quality_bp", "oov_bp", "fluency_bp",
+         "bucket"],
+        near_dup_threshold)

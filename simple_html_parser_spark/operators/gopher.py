@@ -9,8 +9,9 @@ variations, by MassiveText / RefinedWeb / FineWeb / Dolma):
 4. <= 90% of lines start with a bullet ('-', '*', '•');
 5. <= 30% of lines end with an ellipsis ('...' or '…');
 6. >= 80% of words contain at least one alphabetic character;
-7. document contains >= 2 distinct Gopher stop words
-   (the, be, to, of, and, that, have, with).
+7. document contains >= 2 distinct "stop words" (paper list:
+   the, be, to, of, and, that, have, with — ``stops`` makes the list
+   corpus/language-configurable, as every production variant does).
 
 Everything is a per-row codegen'd column projection — NO shuffle, no
 Python stage, no join: at 10^12 docs this is a pure map over the scan
@@ -23,6 +24,13 @@ a cross-multiplied integer comparison with no division at all.
 Words are split on [ \\n] (space or newline) with empties dropped —
 the line rules need newline-aware words, unlike the single-space
 ``tokens_col`` the dedup family mirrors into its oracles.
+
+``gopher_filter`` is the COMPOSITION form: it returns the passing
+rows of the input frame itself (original columns), as a pure filter
+projection — curation flows must use it instead of joining
+``gopher_rules`` output back on doc_id, which would cost a corpus
+self-join for a zero-shuffle predicate (the VERDICT r03 inline-
+projection rule).
 """
 
 from __future__ import annotations
@@ -39,25 +47,23 @@ BULLETS = ("-", "*", "•")
 
 def _count_occurrences(text: Column, needle: str) -> Column:
     """Non-overlapping occurrence count via length difference —
-    identical left-to-right semantics in Spark and DuckDB replace()."""
+    identical left-to-right semantics in Spark and DuckDB replace().
+    The /len division is exact: the length delta is always a multiple
+    of len(needle)."""
     return (
         (F.length(text) - F.length(F.replace(text, F.lit(needle))))
         .cast("bigint") / F.lit(len(needle))
     ).cast("bigint")
 
 
-def gopher_rules(docs: DataFrame,
-                 min_words: int = 50,
-                 max_words: int = 100_000) -> DataFrame:
-    """(doc_id, n_words, n_lines, mean_word_len_x100, hash_word_bp,
-    ellipsis_word_bp, bullet_line_bp, ellipsis_line_bp, alpha_word_bp,
-    n_stop_hits, passes) — the seven Gopher rules as integer signals
-    plus the composite verdict.  ``min_words`` defaults to the paper's
-    50; callers tune per corpus."""
+def _with_signals(docs: DataFrame,
+                  stops: tuple[str, ...]) -> DataFrame:
+    """docs + the seven rules' integer signal columns (underscored).
+    Materialized via withColumn so Catalyst never re-evaluates the
+    split arrays per consumer (memory/catalyst-cse-trap)."""
     words = F.col("_w")
     lines = F.col("_l")
-
-    base = (
+    return (
         docs
         .withColumn("_w", F.filter(
             F.split(F.col("text"), "[ \n]"), lambda x: x != ""))
@@ -78,12 +84,18 @@ def gopher_rules(docs: DataFrame,
         .withColumn("_naw", F.size(F.filter(
             words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint"))
         .withColumn("_nsh", F.size(F.array_intersect(
-            words, F.array(*[F.lit(s) for s in GOPHER_STOPS])
+            words, F.array(*[F.lit(s) for s in stops])
         )).cast("bigint"))
     )
+
+
+def _passes_col(min_words: int, max_words: int) -> Column:
+    """The composite verdict over _with_signals columns: every
+    threshold is a cross-multiplied INTEGER comparison (no division
+    decides a pass/fail at any corpus size)."""
     nw, nl = F.col("_nw"), F.col("_nl")
     twc = F.col("_twc")
-    passes = (
+    return (
         (nw >= min_words) & (nw <= max_words)
         & (twc >= 3 * nw) & (twc <= 10 * nw)
         & (10 * F.col("_nh") <= nw)
@@ -93,10 +105,21 @@ def gopher_rules(docs: DataFrame,
         & (5 * F.col("_naw") >= 4 * nw)
         & (F.col("_nsh") >= 2)
     )
-    return base.select(
+
+
+def gopher_rules(docs: DataFrame,
+                 min_words: int = 50,
+                 max_words: int = 100_000,
+                 stops: tuple[str, ...] = GOPHER_STOPS) -> DataFrame:
+    """(doc_id, n_words, n_lines, mean_word_len_x100, hash_word_bp,
+    ellipsis_word_bp, bullet_line_bp, ellipsis_line_bp, alpha_word_bp,
+    n_stop_hits, passes) — the seven Gopher rules as integer signals
+    plus the composite verdict.  ``min_words`` defaults to the paper's
+    50; callers tune per corpus."""
+    return _with_signals(docs, stops).select(
         "doc_id",
-        nw.alias("n_words"),
-        nl.alias("n_lines"),
+        F.col("_nw").alias("n_words"),
+        F.col("_nl").alias("n_lines"),
         F.expr("100 * _twc div greatest(_nw, 1)")
         .alias("mean_word_len_x100"),
         F.expr("10000 * _nh div greatest(_nw, 1)").alias("hash_word_bp"),
@@ -109,5 +132,17 @@ def gopher_rules(docs: DataFrame,
         F.expr("10000 * _naw div greatest(_nw, 1)")
         .alias("alpha_word_bp"),
         F.col("_nsh").alias("n_stop_hits"),
-        passes.alias("passes"),
+        _passes_col(min_words, max_words).alias("passes"),
     )
+
+
+def gopher_filter(docs: DataFrame,
+                  min_words: int = 50,
+                  max_words: int = 100_000,
+                  stops: tuple[str, ...] = GOPHER_STOPS) -> DataFrame:
+    """The rows of ``docs`` (original columns) passing all seven
+    rules — a pure filter projection for inline composition; never
+    join gopher_rules back on doc_id."""
+    return (_with_signals(docs, stops)
+            .where(_passes_col(min_words, max_words))
+            .select(*docs.columns))

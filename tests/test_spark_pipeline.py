@@ -998,6 +998,52 @@ def test_dsir_weights_partition_independent(spark):
     assert len({r[2] for r in a}) > 1
 
 
+def test_curate_full_composes_stage_outputs(spark):
+    """The one-plan curate_full must equal the stepwise composition
+    of its already-tested stages (scrub → gopher gate → lang/quality/
+    OOV/fluency predicates → exact keepers − near-dup losers)."""
+    from simple_html_parser_spark.operators import curation as CU
+    from simple_html_parser_spark.operators import dedup as D
+    from simple_html_parser_spark.operators import fluency as FL
+    from simple_html_parser_spark.operators import gopher as GO
+    from simple_html_parser_spark.operators import textstats as T
+    from simple_html_parser_spark.operators.pii import scrub_col
+    from simple_html_parser_spark.sources.documents import load_table
+
+    docs = load_table(spark, SF, "documents") \
+        .select("doc_id", "lang", "text")
+    kw = dict(gopher_min_words=10, gopher_stops=("the", "a"))
+    docs2 = docs.select("doc_id", "lang",
+                        scrub_col(F.col("text")).alias("text"))
+    docs3 = GO.gopher_filter(docs2, min_words=10, stops=("the", "a"))
+    n3 = docs3.count()
+    flu = {r.doc_id: (r.fluency_bp, r.bucket)
+           for r in FL.lm_fluency(docs3).collect()}
+    oov = {r.doc_id: r.oov_bp for r in T.oov_stats(docs3).collect()}
+    lang = {r.doc_id: r.pred_lang
+            for r in T.lang_id(docs3).collect()}
+    decl = {r.doc_id: r.lang for r in docs3.collect()}
+    qual = {r.doc_id: r.quality_bp
+            for r in T.quality_score(docs3).collect()}
+    keepers = {r.doc_id for r in D.dedup_exact(docs3).collect()}
+    losers = {r.doc_id for r in
+              D.dedup_clusters(docs3, threshold=0.30,
+                               max_shingle_df="auto").collect()
+              if r.doc_id != r.cluster_id}
+    expected = {
+        d for d in decl
+        if lang[d] == decl[d] and qual[d] >= 5500
+        and oov[d] <= 600 and flu[d][1] != "tail"
+        and d in keepers and d not in losers}
+    got = {r.doc_id: r for r in CU.curate_full(docs, **kw).collect()}
+    assert set(got) == expected
+    assert 0 < len(expected) < n3          # non-vacuous at every gate
+    for d, r in got.items():               # columns match the stages
+        assert (r.pred_lang, r.quality_bp, r.oov_bp,
+                r.fluency_bp, r.bucket) == \
+            (lang[d], qual[d], oov[d], flu[d][0], flu[d][1])
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     """A doc sharing 3-grams with the benchmark slice is scored; the
     benchmark docs themselves are excluded from the output."""

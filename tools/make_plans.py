@@ -220,6 +220,15 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "stage",
      ["HashAggregate", "Window", "BroadcastHashJoin"],
      ["MapInArrow", "MapInPandas", "CartesianProduct"]),
+    ("curate_full",
+     "the full recipe in ONE plan: the Gopher gate is an INLINE "
+     "filter over the scrubbed scan (no self-join), fluency arrives "
+     "as an aggregating extra_frame like oov_stats (its only Window "
+     "sorts the per-lang score histogram), exact-dup keepers LeftSemi "
+     "and near-dup losers anti-join with AQE-decided broadcasts; no "
+     "Python stage",
+     ["LeftSemi", "Window"], ["MapInArrow", "MapInPandas",
+                              "CartesianProduct"]),
     ("gopher_rules",
      "Gopher quality rules are ONE codegen'd projection over the "
      "pruned scan — no shuffle, no join, no aggregate, no Python "

@@ -37,8 +37,25 @@ arm is CLOSED-FORM correct at 400k, and runs twice — span_hash="md5"
 bigint keys) — so the "4x narrower exchange" claim in dedup.py is
 measured, not asserted.
 
+A fourth arm (`--only r5ops`) rehearses the r5 filter operators at
+400k on the REPLICATED corpus (80 identical replicas of each of the
+5k base docs, 5 languages): lm_fluency, dsir_weights, gopher_rules.
+Closed-form invariants at 400k:
+
+  - replication invariance: every distinct output row (doc_id
+    ignored) must occur a multiple-of-80 times — replicas carry
+    identical text, so any row count not divisible by 80 means the
+    operator leaked partitioning/corpus-size state into a value;
+  - the lm_fluency histogram bound: the per-language distinct
+    fluency_bp count (the ONLY thing its Window ever sorts) must
+    stay <= 10001 at 400k — measured, not asserted;
+  - dsir bucket-table bound: distinct buckets <= n_buckets by
+    construction; recorded to show the broadcast side stays tiny;
+  - plan stability: exchange counts identical at 40k and 400k.
+
 Usage: python3 tools/scale_rehearsal.py [out_json] [--only NAME...]
   --only substr   run just the dedup_substrings arm
+  --only r5ops    run just the fluency/dsir/gopher arm
 Appends one JSON line per measurement; ~10-25 min total (full).
 """
 
@@ -176,6 +193,83 @@ def substr_arm(spark, results: list) -> None:
         results.append(rec)
 
 
+def r5ops_arm(spark, results: list) -> None:
+    """lm_fluency / dsir_weights / gopher_rules at 400k replicated
+    docs: plan stability, wall + host controls, replication
+    invariance (all row multiplicities divisible by 80), and the
+    fluency histogram / dsir bucket-table size bounds."""
+    from simple_html_parser_spark.operators import dsir as DI
+    from simple_html_parser_spark.operators import fluency as FL
+    from simple_html_parser_spark.operators import gopher as GO
+
+    small = replicated(spark, 8)
+    big = replicated(spark, REPL)
+
+    def mk_fluency(d):
+        return FL.lm_fluency(d.select("doc_id", "text", "lang"))
+
+    def mk_dsir(d):
+        return DI.dsir_weights(
+            d.select("doc_id", "text"),
+            d.filter(F.col("lang") == "en").select("doc_id", "text"),
+            n_buckets=8192)
+
+    def mk_gopher(d):
+        return GO.gopher_rules(d.select("doc_id", "text"),
+                               min_words=20)
+
+    for nm, mk in (("fluency", mk_fluency), ("dsir", mk_dsir),
+                   ("gopher", mk_gopher)):
+        ex_s = exchange_count(mk(small), spark)
+        ex_b = exchange_count(mk(big), spark)
+        rec = {"name": f"plan_stability_{nm}", "exchanges_40k": ex_s,
+               "exchanges_400k": ex_b, "stable": ex_s == ex_b}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    def run(nm, mk, extras=None):
+        spark.catalog.clearCache()
+        ctl0 = _host_control(400_000)
+        t0 = time.perf_counter()
+        out = mk(big)
+        val_cols = [c for c in out.columns if c != "doc_id"]
+        grouped = (out.groupBy(*val_cols)
+                   .agg(F.count("*").alias("_n")))
+        agg = grouped.agg(
+            F.sum("_n").alias("rows"),
+            F.count("*").alias("distinct_rows"),
+            F.sum((F.col("_n") % REPL != 0).cast("int"))
+            .alias("non_mult80")).collect()[0]
+        wall = round(time.perf_counter() - t0, 1)
+        rec = {"name": f"repl400k_{nm}", "wall_s": wall,
+               "rows": agg.rows, "distinct_rows": agg.distinct_rows,
+               "replication_invariant": agg.non_mult80 == 0,
+               "host_ctl": [ctl0, _host_control(400_000)]}
+        if extras:
+            rec.update(extras())
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    def fluency_extras():
+        hist = (FL.lm_fluency(big.select("doc_id", "text", "lang"))
+                .groupBy("lang")
+                .agg(F.countDistinct("fluency_bp").alias("h"))
+                .agg(F.max("h").alias("m")).collect()[0])
+        return {"max_lang_histogram_rows": hist.m,
+                "histogram_bound_10001": hist.m <= 10001}
+
+    def dsir_extras():
+        nb = (DI.hashed_bigram_buckets(
+            big.select("doc_id", "text"), 8192)
+            .agg(F.countDistinct("bkt").alias("b")).collect()[0])
+        return {"distinct_buckets": nb.b,
+                "bucket_bound_8192": nb.b <= 8192}
+
+    run("fluency", mk_fluency, fluency_extras)
+    run("dsir", mk_dsir, dsir_extras)
+    run("gopher", mk_gopher)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     only: list[str] = []
@@ -191,6 +285,8 @@ def main() -> None:
     if only:
         if "substr" in only:
             substr_arm(spark, results)
+        if "r5ops" in only:
+            r5ops_arm(spark, results)
         with open(out_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(results) + "\n")
         spark.stop()
