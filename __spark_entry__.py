@@ -259,6 +259,21 @@ _GOPHER_CTE = """
             FROM documents)"""
 
 
+def _session_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl frame re-timestamped for session analysis: host h's
+    k-th fetch (doc_id = 20k + h) lands at 60k + 600*(doc_id div 100)
+    seconds past the epoch — bursts of 5 events 60s apart separated
+    by 660s silences, so gap=5min sessionization is non-vacuous.
+    Mirrored in the stream_sessionize oracle."""
+    shaped = load_documents(spark, sf_dir)
+    did = "cast(regexp_extract(url, '([0-9]+)$', 1) as bigint)"
+    return shaped.withColumn(
+        "warc_ts",
+        F.expr(f"timestamp '2025-01-01 00:00:00' + make_interval("
+               f"0, 0, 0, 0, 0, 0, "
+               f"60 * ({did} div 20) + 600 * ({did} div 100))"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (load_table(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") == 0).select("embedding").first())
@@ -428,6 +443,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ST.windowed_metrics_snapshot(spark, _docs(spark, sf)))
     q["stream_first_seen_dedup"] = lambda spark, sf: (
         ST.first_seen_snapshot(spark, _docs(spark, sf)))
+    # per-host session windows: the corpus' uniform 1s timestamps
+    # can't exhibit sessions, so the query feeds a deterministic
+    # irregular rendering (60s per in-host step, +600s jump every
+    # 5th event) — gap=5min groups each host's fetches into bursts
+    # of 5; the oracle replays the rendering and the classic
+    # gaps-and-islands SQL.  Gaps are 60s or 660s, never exactly
+    # the 300s boundary (see sessionize_snapshot docstring).
+    q["stream_sessionize"] = lambda spark, sf: (
+        ST.sessionize_snapshot(spark, _session_docs(spark, sf)))
 
     # ---- dedup family ----
     q["dedup_exact"] = lambda spark, sf: dedup_exact_q(spark, sf)
@@ -1725,6 +1749,35 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs,
                CAST(sum(nb) AS BIGINT) AS html_bytes
         FROM t GROUP BY ws"""
+    # session windows: gaps-and-islands over the deterministic
+    # irregular timestamps of _session_docs; session_end = last event
+    # + the 300s gap (Spark session semantics)
+    o["stream_sessionize"] = f"""
+        WITH e AS (
+            SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + (60 * (doc_id // 20) + 600 * (doc_id // 100))
+                       * INTERVAL 1 SECOND AS ts,
+                   octet_length(encode({render})) AS nb
+            FROM documents),
+        m AS (
+            SELECT host, ts, nb,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY host ORDER BY ts)
+                        > INTERVAL 300 SECOND THEN 1 ELSE 0 END AS brk
+            FROM e),
+        g AS (
+            SELECT host, ts, nb,
+                   sum(brk) OVER (PARTITION BY host ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+        SELECT host,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 300 SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS html_bytes
+        FROM g GROUP BY host, sid"""
     o["stream_first_seen_dedup"] = f"""
         SELECT {_URL_SQL} AS url,
                strftime(TIMESTAMP '2025-01-01 00:00:00'

@@ -139,6 +139,93 @@ def windowed_metrics_snapshot(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+):
+    """Watermarked per-host SESSION windows over the crawl stream
+    (``F.session_window``): consecutive fetches from the same host
+    closer than ``gap`` merge into one session; a session's end is its
+    last event + gap (Spark's session semantics).  The crawl shape:
+    burst-fetching a host produces one session per burst — the
+    per-host politeness/burst analysis every crawler runs, as a
+    streaming aggregation whose state is bounded by the watermark
+    horizon exactly like the tumbling-window metrics.  Append mode: a
+    session row is emitted exactly once, when the watermark passes its
+    end (sessions can merge across micro-batches until then — the
+    state store holds only open sessions)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(CRAWL_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(host.alias("host"),
+                 F.session_window("warc_ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.octet_length("html")).alias("html_bytes"))
+        .select("host",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_docs", "html_bytes")
+    )
+    return (
+        agg.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize_snapshot(
+    spark: SparkSession,
+    docs,
+    gap: str = "5 minutes",
+    watermark: str = "5 minutes",
+):
+    """Run the session-window STREAM over a bounded crawl frame and
+    return the emitted sessions as a batch DataFrame (the same
+    sentinel-watermark harness as windowed_metrics_snapshot: one row
+    30 days past the corpus finalizes every real session; the
+    sentinel's own session stays open and never appears).  Callers
+    must feed timestamps whose in-host gaps are clearly below or
+    above ``gap`` — the exactly-equal-to-gap boundary is the one case
+    where engines' open/closed conventions could differ."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="shp_stream_sess_")
+    inp, outp, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
+    sentinel = docs.limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+    docs.unionByName(sentinel).write.parquet(inp)
+    q = stream_sessionize(spark, inp, outp, chk,
+                          gap=gap, watermark=watermark)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(outp)
+        .select(
+            "host",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_docs", "html_bytes")
+    )
+
+
 def first_seen_snapshot(spark: SparkSession, docs):
     """Run the STATEFUL first-seen dedup stream over a bounded frame
     containing each url THREE times and return the surviving rows —

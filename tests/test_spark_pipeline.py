@@ -271,6 +271,43 @@ def test_streaming_windowed_metrics(spark, docs, tmp_path):
     assert got == {"00:00": 60, "00:01": 60}
 
 
+def test_streaming_sessionize_matches_batch(spark, docs):
+    """The streamed session windows must equal the BATCH
+    session_window aggregation over the same frame — Spark's own
+    batch semantics are the reference, independently of the DuckDB
+    oracle's gaps-and-islands replay."""
+    from simple_html_parser_spark.runtime.streaming import (
+        sessionize_snapshot,
+    )
+    # irregular in-host timestamps (bursts of 5 events 60s apart,
+    # 660s silences) — the _session_docs rendering, rebuilt here
+    did = "cast(regexp_extract(url, '([0-9]+)$', 1) as bigint)"
+    frame = docs.withColumn(
+        "warc_ts",
+        F.expr(f"timestamp '2025-01-01 00:00:00' + make_interval("
+               f"0, 0, 0, 0, 0, 0, "
+               f"60 * ({did} div 20) + 600 * ({did} div 100))"))
+    got = {tuple(r) for r in
+           sessionize_snapshot(spark, frame).collect()}
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    batch = (
+        frame.groupBy(host.alias("host"),
+                      F.session_window("warc_ts", "5 minutes")
+                      .alias("w"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.octet_length("html")).alias("html_bytes"))
+        .select("host",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_end"),
+                "n_docs", "html_bytes"))
+    expected = {tuple(r) for r in batch.collect()}
+    assert got == expected
+    # non-vacuous: every host splits into multiple sessions of 5
+    assert len(got) == 100 and all(r[3] == 5 for r in got)
+
+
 def test_streaming_stateful_dedup(spark, docs, tmp_path):
     """applyInPandasWithState exact-dedup: re-fetched urls in LATER
     micro-batches are dropped; state persists across triggers."""
