@@ -245,6 +245,22 @@ def _gopher_text():
     ).alias("text")
 
 
+def _rep_text():
+    """doc_id-keyed rendering for the repetition filters: %4 docs get
+    a duplicated line pair, %5 (not %4) docs a duplicated 5-gram.
+    Mirrored character-for-character in the repetition_filters
+    oracle."""
+    return (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\necho line one\necho line one")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.col("text"),
+                       F.lit(" r1 r2 r3 r4 r5 r1 r2 r3 r4 r5")))
+        .otherwise(F.col("text"))
+    ).alias("text")
+
+
 _GOPHER_CTE = """
         g AS (
             SELECT doc_id,
@@ -691,6 +707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curate_full"] = lambda spark, sf: CU.curate_full(
         with_contacts(_raw_docs(spark, sf)),
         gopher_min_words=20, gopher_stops=("the", "a"))
+    # MassiveText repetition filters over a rendering that plants
+    # duplicate lines (doc_id%4==0) and an explicit duplicated
+    # 5-gram (doc_id%5==0, when not %4) so the line and dup-n-gram
+    # signals are non-vacuous; the corpus' own 31-word vocabulary
+    # drives the top-2/3/4-gram mass
+    q["repetition_filters"] = lambda spark, sf: (
+        GO.massivetext_repetition(
+            _raw_docs(spark, sf).select("doc_id", _rep_text())))
 
     # ---- r5 driver window (the driver's CORRECTNESS file covers the
     # FIRST 50 registrations in insertion order) ----
@@ -2279,6 +2303,108 @@ def oracle_sql() -> dict[str, str]:
                    AS avg_score_x100,
                (n_bigrams > 0 AND dsir_score >= 0) AS selected
         FROM fin"""
+
+    # MassiveText repetition filters (the gopher_rules companion):
+    # the oracle uses the O(G^2) count-per-distinct-gram forms (order-
+    # free — no reliance on engine sort collations), the Spark side
+    # the O(G log G) run-length folds; values must agree exactly
+    top_cte, dup_cte, joins = [], [], []
+    for n in (2, 3, 4):
+        top_cte.append(f"""
+        t{n} AS (
+            SELECT doc_id,
+                   coalesce(list_max(list_transform(list_distinct(g),
+                       x -> len(list_filter(g, y -> y = x))
+                            * (length(x) - {n - 1}))), 0) AS m{n}
+            FROM (SELECT doc_id,
+                    CASE WHEN nw >= {n} THEN list_transform(
+                        range(1, nw - {n} + 2),
+                        i -> array_to_string(
+                            list_slice(w, i, i + {n - 1}), ' '))
+                    ELSE [] END AS g
+                  FROM b))""")
+        joins.append(f"JOIN t{n} USING (doc_id)")
+    for n in (5, 6, 7, 8, 9, 10):
+        dup_cte.append(f"""
+        d{n}a AS (
+            SELECT doc_id, w, nw, g,
+                   list_filter(list_distinct(g),
+                       x -> len(list_filter(g, y -> y = x)) >= 2) AS ds
+            FROM (SELECT doc_id, w, nw,
+                    CASE WHEN nw >= {n} THEN list_transform(
+                        range(1, nw - {n} + 2),
+                        i -> array_to_string(
+                            list_slice(w, i, i + {n - 1}), ' '))
+                    ELSE [] END AS g
+                  FROM b)),
+        d{n} AS (
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(range(1, nw + 1),
+                       i -> CASE WHEN len(list_filter(
+                                range(greatest(i - {n - 1}, 1),
+                                      least(i, nw - {n - 1}) + 1),
+                                j -> list_contains(ds, g[j]))) > 0
+                            THEN length(w[i]) ELSE 0 END)), 0) AS c{n}
+            FROM d{n}a)""")
+        joins.append(f"JOIN d{n} USING (doc_id)")
+    rep_bp = ",\n               ".join(
+        [f"CAST(10000 * m{n} // greatest(twc, 1) AS BIGINT)"
+         f" AS top{n}gram_char_bp" for n in (2, 3, 4)]
+        + [f"CAST(10000 * c{n} // greatest(twc, 1) AS BIGINT)"
+           f" AS dup{n}gram_char_bp" for n in (5, 6, 7, 8, 9, 10)])
+    rep_pass = " AND ".join(
+        ["10 * (nl - ndl) <= 3 * nl",
+         "10 * dlc <= 2 * greatest(tlc, 1)"]
+        + [f"100 * m{n} <= {t} * greatest(twc, 1)"
+           for n, t in ((2, 20), (3, 18), (4, 16))]
+        + [f"100 * c{n} <= {t} * greatest(twc, 1)"
+           for n, t in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11),
+                        (10, 10))])
+    o["repetition_filters"] = f"""
+        WITH g0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN text || chr(10) ||
+                            'echo line one' || chr(10) ||
+                            'echo line one'
+                        WHEN doc_id % 5 = 0 THEN text ||
+                            ' r1 r2 r3 r4 r5 r1 r2 r3 r4 r5'
+                        ELSE text END AS text
+            FROM documents),
+        b AS (
+            SELECT doc_id, w, l,
+                   CAST(len(w) AS BIGINT) AS nw,
+                   CAST(len(l) AS BIGINT) AS nl,
+                   CAST(coalesce(list_sum(
+                       list_transform(w, x -> length(x))), 0)
+                       AS BIGINT) AS twc,
+                   CAST(coalesce(list_sum(
+                       list_transform(l, x -> length(x))), 0)
+                       AS BIGINT) AS tlc,
+                   CAST(len(list_distinct(l)) AS BIGINT) AS ndl
+            FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '[ \n]'),
+                                x -> x <> '') AS w,
+                    string_split(text, chr(10)) AS l
+                  FROM g0)),
+        dl AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(
+                       list_distinct(l),
+                       x -> (len(list_filter(l, y -> y = x)) - 1)
+                            * length(x))), 0) AS BIGINT) AS dlc
+            FROM b),
+        {",".join(top_cte)},
+        {",".join(dup_cte)}
+        SELECT b.doc_id,
+               nw AS n_words,
+               nl AS n_lines,
+               CAST(10000 * (nl - ndl) // greatest(nl, 1) AS BIGINT)
+                   AS dup_line_bp,
+               CAST(10000 * dlc // greatest(tlc, 1) AS BIGINT)
+                   AS dup_line_char_bp,
+               {rep_bp},
+               ({rep_pass}) AS passes
+        FROM b JOIN dl USING (doc_id) {" ".join(joins)}"""
 
     # the full recipe: scrub → Gopher gate (stops=['the','a'],
     # min_words=20) → lang/quality/OOV → fluency tail-drop → exact +

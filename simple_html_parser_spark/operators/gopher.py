@@ -136,6 +136,181 @@ def gopher_rules(docs: DataFrame,
     )
 
 
+def _rl_fold(arr: Column, step, init_extra: list, finish) -> Column:
+    """Run-length fold over a SORTED string array: the accumulator
+    carries (prev, run, *extra); ``step`` maps (acc, g, run') to the
+    new extra fields, ``finish`` extracts the result.  Sort order is
+    irrelevant beyond grouping equal elements adjacently, so Spark and
+    DuckDB collation differences cannot matter."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"),
+        *init_extra)
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint"))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        *step(acc, g, run))
+    return F.aggregate(F.array_sort(arr), acc0, _step, finish)
+
+
+def _dup_set_col(grams: Column) -> Column:
+    """Distinct grams occurring >= 2 times (run-length over the sorted
+    array; each dup gram collected exactly once, at its second
+    occurrence)."""
+    return _rl_fold(
+        grams,
+        lambda acc, g, run: [
+            F.when(run == 2, F.array_append(acc["ds"], g))
+            .otherwise(acc["ds"]).alias("ds")],
+        [F.array().cast("array<string>").alias("ds")],
+        lambda acc: acc["ds"])
+
+
+def _top_mass_col(grams: Column, n: int) -> Column:
+    """max over distinct grams of count * token-chars(gram) — the
+    character mass of the most-repeated n-gram (token chars = the
+    gram's length minus its n-1 separator spaces)."""
+    return _rl_fold(
+        grams,
+        lambda acc, g, run: [
+            F.greatest(acc["best"],
+                       run * (F.length(g) - (n - 1))).alias("best")],
+        [F.lit(0).cast("bigint").alias("best")],
+        lambda acc: acc["best"])
+
+
+def massivetext_repetition(
+    docs: DataFrame,
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The MassiveText repetition filters (Rae et al. 2021 §A1.1,
+    Table A1 — the other half of the Gopher recipe, alongside
+    ``gopher_rules``), integer-exact per row:
+
+    - dup_line_bp / dup_line_char_bp: fraction of lines (and of line
+      characters) in duplicate line occurrences beyond the first;
+      thresholds 0.30 / 0.20;
+    - top{2,3,4}gram_char_bp: character mass of the single most-
+      repeated n-gram over total token chars ("most repeated" = the
+      gram maximizing count × chars, which is what the threshold
+      bounds); thresholds 0.20 / 0.18 / 0.16.  Overlapping
+      occurrences each count (the count × chars formulation), so the
+      bp can exceed 10000 on degenerate inputs like 'x y x y x y' —
+      fine for a one-sided upper-bound filter;
+    - dup{n}gram_char_bp for n in ``dup_ns``: fraction of token
+      characters at positions covered by ANY n-gram occurring >= 2
+      times (position coverage, not occurrence sums — overlapping
+      duplicates count each token once, the paper's formulation);
+      thresholds 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10 for n=5..10;
+    - passes: every threshold as a cross-multiplied INTEGER
+      comparison (no division decides a verdict).
+
+    The paper also filters on duplicate PARAGRAPHS (split on blank
+    lines); this corpus carries none, so the paragraph twin of the
+    line signals is deliberately omitted rather than shipped untested.
+
+    Scale shape: per-row codegen'd array expressions only — no
+    shuffle, no join, no Python (the gopher_rules plan shape).  Every
+    gram array and dup-set is MATERIALIZED via withColumn before the
+    HOFs that consume it (memory/catalyst-cse-trap); run-length folds
+    replace the O(G^2) count-per-distinct-gram form, which the DuckDB
+    oracle uses instead (order-free, so engine sort collations cannot
+    diverge).  Coverage is O(L * n * |dups|) per row, bounded by the
+    upstream length filter like dedup_substrings' reconstruction."""
+    TOP_TH = {2: 20, 3: 18, 4: 16}           # x/100 of token chars
+    DUP_TH = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+    words = F.col("_w")
+    lines = F.col("_l")
+    base = (
+        docs
+        .withColumn("_w", F.filter(
+            F.split(F.col("text"), "[ \n]"), lambda x: x != ""))
+        .withColumn("_l", F.split(F.col("text"), "\n"))
+        .withColumn("_nw", F.size(words).cast("bigint"))
+        .withColumn("_nl", F.size(lines).cast("bigint"))
+        .withColumn("_twc", F.aggregate(
+            words, F.lit(0).cast("bigint"),
+            lambda a, w: a + F.length(w)))
+        .withColumn("_tlc", F.aggregate(
+            lines, F.lit(0).cast("bigint"),
+            lambda a, ln: a + F.length(ln)))
+        .withColumn("_ndl", F.size(F.array_distinct(lines))
+                    .cast("bigint"))
+        # chars in duplicate line OCCURRENCES beyond the first
+        .withColumn("_dlc", _rl_fold(
+            lines,
+            lambda acc, g, run: [
+                (acc["c"] + F.when(run >= 2, F.length(g))
+                 .otherwise(F.lit(0))).alias("c")],
+            [F.lit(0).cast("bigint").alias("c")],
+            lambda acc: acc["c"]))
+    )
+
+    def grams_col(n: int) -> Column:
+        return F.when(
+            F.col("_nw") >= n,
+            F.transform(F.sequence(F.lit(1), F.col("_nw") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(words, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    for n in (2, 3, 4):
+        base = base.withColumn(f"_g{n}", grams_col(n)) \
+            .withColumn(f"_m{n}", _top_mass_col(F.col(f"_g{n}"), n))
+    for n in dup_ns:
+        base = (base.withColumn(f"_g{n}", grams_col(n))
+                .withColumn(f"_ds{n}", _dup_set_col(F.col(f"_g{n}"))))
+        g, ds = F.col(f"_g{n}"), F.col(f"_ds{n}")
+        # token position i (1-based) is covered iff some window
+        # j in [max(1, i-n+1), min(i, L-n+1)] is a duplicated gram
+        cov = F.aggregate(
+            F.sequence(F.lit(1), F.col("_nw")),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc + F.when(
+                F.exists(
+                    F.slice(g, F.greatest(i - (n - 1), F.lit(1)),
+                            F.least(i, F.col("_nw") - (n - 1))
+                            - F.greatest(i - (n - 1), F.lit(1)) + 1),
+                    lambda w: F.array_contains(ds, w)),
+                F.length(F.element_at(words, i.cast("int"))))
+            .otherwise(F.lit(0)))
+        base = base.withColumn(
+            f"_c{n}", F.when(F.col("_nw") >= n, cov)
+            .otherwise(F.lit(0).cast("bigint")))
+
+    nl, twc, tlc = F.col("_nl"), F.col("_twc"), F.col("_tlc")
+    passes = (
+        (10 * (nl - F.col("_ndl")) <= 3 * nl)
+        & (10 * F.col("_dlc") <= 2 * F.greatest(tlc, F.lit(1)))
+    )
+    for n in (2, 3, 4):
+        passes = passes & (
+            100 * F.col(f"_m{n}") <= TOP_TH[n] * F.greatest(
+                twc, F.lit(1)))
+    for n in dup_ns:
+        passes = passes & (
+            100 * F.col(f"_c{n}") <= DUP_TH[n] * F.greatest(
+                twc, F.lit(1)))
+
+    out = [
+        "doc_id",
+        F.col("_nw").alias("n_words"),
+        nl.alias("n_lines"),
+        F.expr("10000 * (_nl - _ndl) div greatest(_nl, 1)")
+        .alias("dup_line_bp"),
+        F.expr("10000 * _dlc div greatest(_tlc, 1)")
+        .alias("dup_line_char_bp"),
+    ]
+    out += [F.expr(f"10000 * _m{n} div greatest(_twc, 1)")
+            .alias(f"top{n}gram_char_bp") for n in (2, 3, 4)]
+    out += [F.expr(f"10000 * _c{n} div greatest(_twc, 1)")
+            .alias(f"dup{n}gram_char_bp") for n in dup_ns]
+    out.append(passes.alias("passes"))
+    return base.select(*out)
+
+
 def gopher_filter(docs: DataFrame,
                   min_words: int = 50,
                   max_words: int = 100_000,

@@ -1035,6 +1035,97 @@ def test_dsir_weights_partition_independent(spark):
     assert len({r[2] for r in a}) > 1
 
 
+def _repetition_reference(rows):
+    """Pure-Python replica of massivetext_repetition."""
+    import re
+
+    TOP_TH = {2: 20, 3: 18, 4: 16}
+    DUP_TH = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    out = {}
+    for r in rows:
+        w = [x for x in re.split(r"[ \n]", r.text) if x]
+        lines = r.text.split("\n")
+        nw, nl = len(w), len(lines)
+        twc = sum(len(x) for x in w)
+        tlc = sum(len(x) for x in lines)
+        ndl = len(set(lines))
+        from collections import Counter
+        lc = Counter(lines)
+        dlc = sum((c - 1) * len(x) for x, c in lc.items() if c > 1)
+        vals = [nw, nl, 10000 * (nl - ndl) // max(nl, 1),
+                10000 * dlc // max(tlc, 1)]
+        ok = (10 * (nl - ndl) <= 3 * nl
+              and 10 * dlc <= 2 * max(tlc, 1))
+        masses, covers = {}, {}
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+            grams = [" ".join(w[i:i + n]) for i in range(nw - n + 1)] \
+                if nw >= n else []
+            gc = Counter(grams)
+            if n <= 4:
+                m = max((c * (len(g) - (n - 1))
+                         for g, c in gc.items()), default=0)
+                masses[n] = m
+                vals.append(10000 * m // max(twc, 1))
+                ok = ok and 100 * m <= TOP_TH[n] * max(twc, 1)
+            else:
+                dup = {g for g, c in gc.items() if c >= 2}
+                cov = 0
+                for i in range(nw):
+                    lo = max(0, i - n + 1)
+                    hi = min(i, nw - n)
+                    if any(grams[j] in dup for j in range(lo, hi + 1)):
+                        cov += len(w[i])
+                covers[n] = cov
+                vals.append(10000 * cov // max(twc, 1))
+                ok = ok and 100 * cov <= DUP_TH[n] * max(twc, 1)
+        vals.append(ok)
+        out[r.doc_id] = tuple(vals)
+    return out
+
+
+def test_repetition_filters_match_python_reference(spark):
+    """Crafted docs hitting every repetition signal (dup lines, heavy
+    2-grams, planted dup 5..10-grams, overlap >100% mass, empties)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators import gopher as GO
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        Row(doc_id=1, text=" ".join(rng.choice(vocab)
+                                    for _ in range(60))),
+        Row(doc_id=2, text="r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 tail"),
+        Row(doc_id=3, text="x y x y x y"),            # overlap > 100%
+        Row(doc_id=4, text="a b\ndup line\ndup line\ndup line\nc d"),
+        Row(doc_id=5, text=""),
+        Row(doc_id=6, text="q w e r t y u i o p " * 2),  # dup 10-gram
+        Row(doc_id=7, text="one two three"),          # shorter than n
+    ]
+    expected = _repetition_reference(rows)
+    got = {r.doc_id: tuple(r)[1:] for r in GO.massivetext_repetition(
+        spark.createDataFrame(rows)).collect()}
+    assert got == expected
+    assert got[2][7] > 0 and got[6][12] > 0   # dup5 / dup10 fire
+    assert got[3][6] > 10000                  # top4 overlap mass > 100%
+    assert got[4][2] > 0 and got[4][3] > 0    # line signals fire
+
+
+def test_repetition_filters_partition_independent(spark):
+    from simple_html_parser_spark.operators import gopher as GO
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(150))
+    a = {tuple(r) for r in GO.massivetext_repetition(
+        base.repartition(1)).collect()}
+    b = {tuple(r) for r in GO.massivetext_repetition(
+        base.repartition(13)).collect()}
+    assert a == b and len(a) == 150
+
+
 def test_curate_full_composes_stage_outputs(spark):
     """The one-plan curate_full must equal the stepwise composition
     of its already-tested stages (scrub → gopher gate → lang/quality/

@@ -235,6 +235,12 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "stage (the same zero-shuffle shape as quality_score)",
      ["Project"], ["Exchange", "HashAggregate", "Window",
                    "MapInArrow", "MapInPandas", "CartesianProduct"]),
+    ("repetition_filters",
+     "MassiveText repetition suite: run-length folds over sorted "
+     "per-row gram arrays — still ONE projection over the pruned "
+     "scan, no shuffle/join/aggregate/Python",
+     ["Project"], ["Exchange", "HashAggregate", "Window",
+                   "MapInArrow", "MapInPandas", "CartesianProduct"]),
     ("dsir_weights",
      "DSIR hashed-bigram importance weights: BOTH count tables are "
      "bounded at n_buckets rows (map-side-combined hash-aggs), so "
