@@ -734,18 +734,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     since r2);
     #   * last-green-r3 block: crawl_delta/domain_mix/domain_quota/
     #     domain_sample;
-    #   * single-green-r4 block: ann_kmeans_topk, image_features,
-    #     audio_features, pdf_text_extract, stream_windowed_metrics,
-    #     stream_first_seen_dedup;
     #   * never-driver-green r5 additions: crawl_token_budget,
-    #     link_graph, link_pagerank, dedup_substrings, lm_fluency —
-    #     in by the same policy that promoted the charset pair,
-    #     displacing the only TWO-round-green rows left in-window
-    #     (dedup_simhash r3+r4, curate_web r3+r4) plus three with
-    #     stronger in-window family cover: crawl_delta (r3;
-    #     mix/quota/sample stay), audio_features_stub (r2; the real
-    #     audio_features stays), and stream_windowed_metrics (r4;
-    #     stream_first_seen_dedup keeps the streaming family
+    #     link_graph, link_pagerank, dedup_substrings, lm_fluency,
+    #     gopher_rules, repetition_filters, dsir_weights, curate_full,
+    #     stream_sessionize — in by the same policy that promoted the
+    #     charset pair.  Displaced to make room (ALL driver-green in
+    #     r4, so each has a fresh external row): the two-round-green
+    #     dedup_simhash/curate_web, crawl_delta (r3; mix/quota/sample
+    #     stay), audio_features_stub (r2; family covered),
+    #     stream_windowed_metrics + stream_first_seen_dedup (r4;
+    #     stream_sessionize keeps the streaming family in-window),
+    #     ann_kmeans_topk, image_features, audio_features,
+    #     pdf_text_extract (all r4; frame_sample keeps multimodal
     #     in-window).
     # Rotated OUT (all driver-green in BOTH r3 and r4, or ≥2 rounds):
     # dedup_exact/ngram_jaccard/minhash_lsh, simhash_signatures,
@@ -774,8 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample",
         "crawl_domain_mix", "crawl_domain_quota",
         "crawl_domain_sample",
-        "ann_kmeans_topk", "image_features", "audio_features",
-        "pdf_text_extract", "stream_first_seen_dedup",
+        "gopher_rules", "repetition_filters", "dsir_weights",
+        "curate_full", "stream_sessionize",
         "q1_pricing", "q3_top_orders",
     ]
     assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
