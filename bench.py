@@ -530,7 +530,11 @@ engine-efficiency metric plus the job shape are the transferable
 evidence for the N→4N ≥ 0.8 gate.
 
 Headline queries at local[{CPUS}], sf{result['sf']}: total
-{result['value']}s; per-query timings in BENCH JSON.
+{result['value']}s; per-query timings in BENCH JSON.  NOTE: r5 added
+four headline queries (curate_full — which embeds the LSH dedup +
+clustering + fluency machinery end-to-end — plus lm_fluency,
+gopher_rules, dsir_weights), so totals are NOT comparable across
+rounds; compare per-query.
 
 ### The dedup_minhash_lsh "regression" (r3 5.69s vs r2 2.36s): named
 
@@ -575,7 +579,15 @@ benches on near-identical code: headline totals 53.3 / 70.6 / 91.0 /
 0.895 (clean-pair medians), extraction 92.9 / 64.4 / 66.2 / 81.8 /
 96.3 MB/s at local[4].  The last (committed) run is the round's best
 on every axis and FOLLOWS the tmpfs + clustering fixes — the spread
-before it is what the fixes plus host windows look like.
+before it is what the fixes plus host windows look like.  r5's three
+full benches: 0.968 eff at 110.5 MB/s (but only 2/10 clean pairs),
+0.845 at 91.1 MB/s (5/5 clean — the first run satisfying every r4
+done-criterion clause), then 1.02/0.984/0.98 (median/rom/best-rates)
+at 116.85 MB/s with 5 clean pairs and the lowest kernel CPU/doc yet
+(0.332 ms lo / 0.316 ms hi — the r5 open-tag memo).  Estimators at
+or above 1.0 mean the 1-core side absorbed more of that window's
+host noise than the 4-core side; read the three estimators together
+(≈0.98-1.02) rather than any one number.
 Per-metric bests across runs are the engine's capability;
 any single run is a lower bound with 1-2 noise windows somewhere in
 its ~40 queries.  The r4 tmpfs move (runtime/session.py
