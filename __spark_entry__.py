@@ -253,7 +253,8 @@ def _rep_text():
     return (
         F.when(F.col("doc_id") % 4 == 0,
                F.concat(F.col("text"),
-                        F.lit("\necho line one\necho line one")))
+                        F.lit("\necho line one\necho line one"
+                              "\n\npara dup\n\npara dup")))
         .when(F.col("doc_id") % 5 == 0,
               F.concat(F.col("text"),
                        F.lit(" r1 r2 r3 r4 r5 r1 r2 r3 r4 r5")))
@@ -2354,7 +2355,9 @@ def oracle_sql() -> dict[str, str]:
            f" AS dup{n}gram_char_bp" for n in (5, 6, 7, 8, 9, 10)])
     rep_pass = " AND ".join(
         ["10 * (nl - ndl) <= 3 * nl",
-         "10 * dlc <= 2 * greatest(tlc, 1)"]
+         "10 * dlc <= 2 * greatest(tlc, 1)",
+         "10 * (np - ndp) <= 3 * np",
+         "10 * dpc <= 2 * greatest(tpc, 1)"]
         + [f"100 * m{n} <= {t} * greatest(twc, 1)"
            for n, t in ((2, 20), (3, 18), (4, 16))]
         + [f"100 * c{n} <= {t} * greatest(twc, 1)"
@@ -2365,7 +2368,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) ||
                             'echo line one' || chr(10) ||
-                            'echo line one'
+                            'echo line one' || chr(10) || chr(10) ||
+                            'para dup' || chr(10) || chr(10) ||
+                            'para dup'
                         WHEN doc_id % 5 = 0 THEN text ||
                             ' r1 r2 r3 r4 r5 r1 r2 r3 r4 r5'
                         ELSE text END AS text
@@ -2380,19 +2385,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(list_sum(
                        list_transform(l, x -> length(x))), 0)
                        AS BIGINT) AS tlc,
-                   CAST(len(list_distinct(l)) AS BIGINT) AS ndl
+                   CAST(len(list_distinct(l)) AS BIGINT) AS ndl,
+                   CAST(len(p) AS BIGINT) AS np,
+                   CAST(coalesce(list_sum(
+                       list_transform(p, x -> length(x))), 0)
+                       AS BIGINT) AS tpc,
+                   CAST(len(list_distinct(p)) AS BIGINT) AS ndp
             FROM (SELECT doc_id,
                     list_filter(string_split_regex(text, '[ \n]'),
                                 x -> x <> '') AS w,
-                    string_split(text, chr(10)) AS l
+                    string_split(text, chr(10)) AS l,
+                    string_split(text, chr(10) || chr(10)) AS p
                   FROM g0)),
         dl AS (
             SELECT doc_id,
                    CAST(coalesce(list_sum(list_transform(
                        list_distinct(l),
                        x -> (len(list_filter(l, y -> y = x)) - 1)
-                            * length(x))), 0) AS BIGINT) AS dlc
-            FROM b),
+                            * length(x))), 0) AS BIGINT) AS dlc,
+                   CAST(coalesce(list_sum(list_transform(
+                       list_distinct(p),
+                       x -> (len(list_filter(p, y -> y = x)) - 1)
+                            * length(x))), 0) AS BIGINT) AS dpc
+            FROM (SELECT b.*, s2.l AS l, s2.p AS p
+                  FROM b JOIN (SELECT doc_id,
+                          string_split(text, chr(10)) AS l,
+                          string_split(text, chr(10) || chr(10)) AS p
+                        FROM g0) s2 USING (doc_id))),
         {",".join(top_cte)},
         {",".join(dup_cte)}
         SELECT b.doc_id,
@@ -2402,6 +2421,10 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_line_bp,
                CAST(10000 * dlc // greatest(tlc, 1) AS BIGINT)
                    AS dup_line_char_bp,
+               CAST(10000 * (np - ndp) // greatest(np, 1) AS BIGINT)
+                   AS dup_para_bp,
+               CAST(10000 * dpc // greatest(tpc, 1) AS BIGINT)
+                   AS dup_para_char_bp,
                {rep_bp},
                ({rep_pass}) AS passes
         FROM b JOIN dl USING (doc_id) {" ".join(joins)}"""

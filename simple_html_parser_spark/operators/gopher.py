@@ -191,6 +191,9 @@ def massivetext_repetition(
     - dup_line_bp / dup_line_char_bp: fraction of lines (and of line
       characters) in duplicate line occurrences beyond the first;
       thresholds 0.30 / 0.20;
+    - dup_para_bp / dup_para_char_bp: the same pair over PARAGRAPHS
+      (blank-line-separated, i.e. split on '\\n\\n'); thresholds
+      0.30 / 0.20;
     - top{2,3,4}gram_char_bp: character mass of the single most-
       repeated n-gram over total token chars ("most repeated" = the
       gram maximizing count × chars, which is what the threshold
@@ -205,10 +208,6 @@ def massivetext_repetition(
       thresholds 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10 for n=5..10;
     - passes: every threshold as a cross-multiplied INTEGER
       comparison (no division decides a verdict).
-
-    The paper also filters on duplicate PARAGRAPHS (split on blank
-    lines); this corpus carries none, so the paragraph twin of the
-    line signals is deliberately omitted rather than shipped untested.
 
     Scale shape: per-row codegen'd array expressions only — no
     shuffle, no join, no Python (the gopher_rules plan shape).  Every
@@ -241,6 +240,21 @@ def massivetext_repetition(
         # chars in duplicate line OCCURRENCES beyond the first
         .withColumn("_dlc", _rl_fold(
             lines,
+            lambda acc, g, run: [
+                (acc["c"] + F.when(run >= 2, F.length(g))
+                 .otherwise(F.lit(0))).alias("c")],
+            [F.lit(0).cast("bigint").alias("c")],
+            lambda acc: acc["c"]))
+        # the paragraph twins (blank-line-separated spans)
+        .withColumn("_p", F.split(F.col("text"), "\n\n"))
+        .withColumn("_np", F.size(F.col("_p")).cast("bigint"))
+        .withColumn("_tpc", F.aggregate(
+            F.col("_p"), F.lit(0).cast("bigint"),
+            lambda a, pp: a + F.length(pp)))
+        .withColumn("_ndp", F.size(F.array_distinct(F.col("_p")))
+                    .cast("bigint"))
+        .withColumn("_dpc", _rl_fold(
+            F.col("_p"),
             lambda acc, g, run: [
                 (acc["c"] + F.when(run >= 2, F.length(g))
                  .otherwise(F.lit(0))).alias("c")],
@@ -281,9 +295,12 @@ def massivetext_repetition(
             .otherwise(F.lit(0).cast("bigint")))
 
     nl, twc, tlc = F.col("_nl"), F.col("_twc"), F.col("_tlc")
+    np_, tpc = F.col("_np"), F.col("_tpc")
     passes = (
         (10 * (nl - F.col("_ndl")) <= 3 * nl)
         & (10 * F.col("_dlc") <= 2 * F.greatest(tlc, F.lit(1)))
+        & (10 * (np_ - F.col("_ndp")) <= 3 * np_)
+        & (10 * F.col("_dpc") <= 2 * F.greatest(tpc, F.lit(1)))
     )
     for n in (2, 3, 4):
         passes = passes & (
@@ -302,6 +319,10 @@ def massivetext_repetition(
         .alias("dup_line_bp"),
         F.expr("10000 * _dlc div greatest(_tlc, 1)")
         .alias("dup_line_char_bp"),
+        F.expr("10000 * (_np - _ndp) div greatest(_np, 1)")
+        .alias("dup_para_bp"),
+        F.expr("10000 * _dpc div greatest(_tpc, 1)")
+        .alias("dup_para_char_bp"),
     ]
     out += [F.expr(f"10000 * _m{n} div greatest(_twc, 1)")
             .alias(f"top{n}gram_char_bp") for n in (2, 3, 4)]

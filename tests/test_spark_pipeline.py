@@ -1052,10 +1052,19 @@ def _repetition_reference(rows):
         from collections import Counter
         lc = Counter(lines)
         dlc = sum((c - 1) * len(x) for x, c in lc.items() if c > 1)
+        paras = r.text.split("\n\n")
+        np_, ndp = len(paras), len(set(paras))
+        tpc = sum(len(x) for x in paras)
+        pc = Counter(paras)
+        dpc = sum((c - 1) * len(x) for x, c in pc.items() if c > 1)
         vals = [nw, nl, 10000 * (nl - ndl) // max(nl, 1),
-                10000 * dlc // max(tlc, 1)]
+                10000 * dlc // max(tlc, 1),
+                10000 * (np_ - ndp) // max(np_, 1),
+                10000 * dpc // max(tpc, 1)]
         ok = (10 * (nl - ndl) <= 3 * nl
-              and 10 * dlc <= 2 * max(tlc, 1))
+              and 10 * dlc <= 2 * max(tlc, 1)
+              and 10 * (np_ - ndp) <= 3 * np_
+              and 10 * dpc <= 2 * max(tpc, 1))
         masses, covers = {}, {}
         for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
             grams = [" ".join(w[i:i + n]) for i in range(nw - n + 1)] \
@@ -1103,14 +1112,17 @@ def test_repetition_filters_match_python_reference(spark):
         Row(doc_id=5, text=""),
         Row(doc_id=6, text="q w e r t y u i o p " * 2),  # dup 10-gram
         Row(doc_id=7, text="one two three"),          # shorter than n
+        Row(doc_id=8, text="intro words\n\nsame para here"
+                           "\n\nsame para here\n\nclosing bit"),
     ]
     expected = _repetition_reference(rows)
     got = {r.doc_id: tuple(r)[1:] for r in GO.massivetext_repetition(
         spark.createDataFrame(rows)).collect()}
     assert got == expected
-    assert got[2][7] > 0 and got[6][12] > 0   # dup5 / dup10 fire
-    assert got[3][6] > 10000                  # top4 overlap mass > 100%
+    assert got[2][9] > 0 and got[6][14] > 0   # dup5 / dup10 fire
+    assert got[3][8] > 10000                  # top4 overlap mass > 100%
     assert got[4][2] > 0 and got[4][3] > 0    # line signals fire
+    assert got[8][4] > 0 and got[8][5] > 0    # paragraph signals fire
 
 
 def test_repetition_filters_partition_independent(spark):
