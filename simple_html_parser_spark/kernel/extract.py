@@ -64,40 +64,12 @@ class ExtractResult:
     n_text_nodes: int
 
 
-def _candidates(tree: FlatTree, profile: ExtractionProfile):
-    """Document-order kept text nodes: (nid, nearest_element_ancestor).
-
-    Iterative DFS with subtree skipping; one pass, O(nodes)."""
-    out: list[tuple[int, int]] = []
-    children = tree.children
-    ttype = tree.type
-    tname = tree.name
-    blacklist = profile.blacklist
-    # stack of (nid, nearest_element_ancestor)
-    stack: list[tuple[int, int]] = [(0, -1)]
-    while stack:
-        nid, anc = stack.pop()
-        ty = ttype[nid]
-        if ty == TAG_OPEN:
-            if (tname[nid].lower() in blacklist
-                    or tree.flags[nid] & 3):  # style/script block
-                continue  # skip entire subtree
-            anc = nid
-        elif ty == TEXT:
-            # fast path: a non-ws first char means the trim is
-            # non-empty — skips the strip copy for ~all real text
-            c = tree.content[nid]
-            if c and (c[0] not in JS_WS_SET or js_trim(c) != ""):
-                out.append((nid, anc))
-            continue
-        for c in reversed(children[nid]):
-            stack.append((c, anc))
-    return out
-
-
 def _parity_candidates(tree: FlatTree, profile: ExtractionProfile):
-    """Ancestor-free fast walk (parity keeps every candidate, so the
-    nearest-element bookkeeping of _candidates is dead weight here)."""
+    """Document-order kept text node ids — the shared candidate walk
+    for BOTH profiles (r5: the density path's per-node
+    (nid, ancestor) tuple bookkeeping was dead weight — the ancestor
+    was never consumed; _density_filter derives block/link ancestry
+    via its own memoised chain walks)."""
     out: list[int] = []
     children = tree.children
     ttype = tree.type
@@ -132,11 +104,10 @@ def extract(
         kept_ids = _parity_candidates(tree, profile)
         n_text_nodes = len(kept_ids)
     else:
-        cands = _candidates(tree, profile)
+        cands = _parity_candidates(tree, profile)
         n_text_nodes = len(cands)
-        kept = cands if not cands else _density_filter(
+        kept_ids = cands if not cands else _density_filter(
             tree, cands, profile)
-        kept_ids = [nid for nid, _ in kept]
 
     content = tree.content
     text = "".join(content[nid] for nid in kept_ids)
@@ -202,24 +173,38 @@ _A = frozenset(("a",))
 
 
 def _density_filter(
-    tree: FlatTree, cands: list[tuple[int, int]],
+    tree: FlatTree, cands: list[int],
     profile: ExtractionProfile,
-) -> list[tuple[int, int]]:
+) -> list[int]:
     # Group candidates by nearest block ancestor; aggregate text and
-    # link-text character counts per block.
+    # link-text character counts per block.  Sibling text nodes share
+    # a parent, so the memo's answer for parent[nid] is usually
+    # already cached — the dict .get fast path below skips the
+    # _nearest_memo call frame for that common case (r5; identical
+    # values by construction: the memo caches every visited element).
     block_of: list[int] = []
     text_chars: dict[int, int] = {}
     link_chars: dict[int, int] = {}
     block_cache: dict[int, int] = {}
     link_cache: dict[int, int] = {}
-    for nid, _anc in cands:
-        block = _nearest_memo(tree, nid, profile.block_tags, block_cache)
+    tparent = tree.parent
+    content = tree.content
+    block_tags = profile.block_tags
+    bc_get = block_cache.get
+    lc_get = link_cache.get
+    for nid in cands:
+        p = tparent[nid]
+        block = bc_get(p)
+        if block is None:
+            block = _nearest_memo(tree, nid, block_tags, block_cache)
         block_of.append(block)
         # frozen-spec length = Unicode CODE POINTS (a JS .length would
         # count astral chars twice; the harness mirror uses Array.from)
-        n = len(js_trim(tree.content[nid]))
+        n = len(js_trim(content[nid]))
         text_chars[block] = text_chars.get(block, 0) + n
-        link_anc = _nearest_memo(tree, nid, _A, link_cache)
+        link_anc = lc_get(p)
+        if link_anc is None:
+            link_anc = _nearest_memo(tree, nid, _A, link_cache)
         # link text only counts if the <a> is inside the block
         if link_anc != -1 and (block == -1 or link_anc > block):
             link_chars[block] = link_chars.get(block, 0) + n
@@ -229,6 +214,5 @@ def _density_filter(
         and link_chars.get(b, 0) <= profile.max_link_density * tc
     }
     return [
-        (nid, anc) for (nid, anc), b in zip(cands, block_of)
-        if b in kept_blocks
+        nid for nid, b in zip(cands, block_of) if b in kept_blocks
     ]
