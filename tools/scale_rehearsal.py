@@ -270,6 +270,25 @@ def r5ops_arm(spark, results: list) -> None:
     run("gopher", mk_gopher)
 
 
+def r5comp_arm(spark, results: list) -> None:
+    """curate_full + massivetext_repetition at 400k replicated docs:
+    the composite on the duplication-pathological corpus (every LSH
+    bucket over the cap, exact dedup collapsing 80x replicas) and the
+    heaviest pure-map filter's wall."""
+    from simple_html_parser_spark.operators import gopher as GO
+    from simple_html_parser_spark.operators.curation import curate_full
+
+    big = replicated(spark, REPL)
+    for nm, mk in (
+        ("curate_full", lambda: curate_full(
+            big, gopher_min_words=20, gopher_stops=("the", "a"))),
+        ("repetition", lambda: GO.massivetext_repetition(
+            big.select("doc_id", "text"))),
+    ):
+        spark.catalog.clearCache()
+        timed(f"repl400k_{nm}", mk, results)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     only: list[str] = []
@@ -287,6 +306,8 @@ def main() -> None:
             substr_arm(spark, results)
         if "r5ops" in only:
             r5ops_arm(spark, results)
+        if "r5comp" in only:
+            r5comp_arm(spark, results)
         with open(out_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(results) + "\n")
         spark.stop()
