@@ -593,6 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # buckets instead of the label column)
     q["embedding_srp_lsh"] = lambda spark, sf: S.embedding_srp_lsh_dedup(
         load_table(spark, sf, "embeddings"), threshold=0.4)
+    # SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
+    # screening, keep-closest-to-centroid; τ=0.4 for the same
+    # non-vacuity reason as embedding_dedup above (the synthetic
+    # embeddings max out near cos 0.5)
+    q["semantic_dedup"] = lambda spark, sf: S.semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.4,
+        n_clusters=8, iters=2)
 
     # ---- text analysis ----
     q["token_stats"] = lambda spark, sf: T.token_count_cols(
@@ -729,17 +736,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * curation_pipeline (last green r2; the r4 bench ×1.9 A/B
     #     target) + dedup_clusters/dedup_simhash/curate_web (embed the
     #     clustering internals touched this round);
-    #   * last-green-r2 block: embedding_srp_lsh, lang_distribution,
-    #     repetition_stats, audio_features_stub, frame_sample,
-    #     q1_pricing, q3_top_orders (relational family had no row
-    #     since r2);
+    #   * last-green-r2 block: lang_distribution, repetition_stats,
+    #     audio_features_stub, frame_sample, q1_pricing,
+    #     q3_top_orders (relational family had no row since r2);
+    #     embedding_srp_lsh (r2) was in this block until the late-r5
+    #     semantic_dedup landed — never-driver-green wins over a
+    #     refresh within the same embedding-dedup family, so
+    #     semantic_dedup takes the slot and srp_lsh (driver-green r2,
+    #     locally green every round since) rotates out;
     #   * last-green-r3 block: crawl_delta/domain_mix/domain_quota/
     #     domain_sample;
     #   * never-driver-green r5 additions: crawl_token_budget,
     #     link_graph, link_pagerank, dedup_substrings, lm_fluency,
     #     gopher_rules, repetition_filters, dsir_weights, curate_full,
-    #     stream_sessionize — in by the same policy that promoted the
-    #     charset pair.  Displaced to make room (ALL driver-green in
+    #     stream_sessionize, semantic_dedup — in by the same policy
+    #     that promoted the charset pair.  Displaced to make room (ALL driver-green in
     #     r4, so each has a fresh external row): the two-round-green
     #     dedup_simhash/curate_web, crawl_delta (r3; mix/quota/sample
     #     stay), audio_features_stub (r2; family covered),
@@ -771,7 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline", "dedup_clusters",
         "crawl_token_budget", "link_graph", "link_pagerank",
         "dedup_substrings", "lm_fluency",
-        "embedding_srp_lsh", "lang_distribution", "repetition_stats",
+        "semantic_dedup", "lang_distribution", "repetition_stats",
         "frame_sample",
         "crawl_domain_mix", "crawl_domain_quota",
         "crawl_domain_sample",
@@ -1468,6 +1479,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE e.vec_id IN (SELECT vec_id FROM fin
                            WHERE cid IN (SELECT cid FROM probed))
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+    # SemDeDup: the oracle replays the SAME integer-exact Lloyd sweeps
+    # (shared _km_parts CTEs), recomputes each vector's bigint squared
+    # L2 to its final centroid, and applies the identical within-cell
+    # screening rule — drop a iff some same-cell b with cos ≥ 0.4 has
+    # (centroid_d, vec_id) strictly smaller.
+    o["semantic_dedup"] = "WITH " + ",".join(_km_parts) + f""",
+        fin AS (SELECT vec_id, cid, centroid_d FROM (
+            SELECT v.vec_id, {_cur}.cid,
+                   CAST({_kdist("v.qe", f"{_cur}.c")} AS BIGINT)
+                       AS centroid_d,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_kdist("v.qe", f"{_cur}.c")},
+                                {_cur}.cid) AS rn
+            FROM v CROSS JOIN {_cur}) WHERE rn = 1),
+        dup AS (
+            SELECT DISTINCT a.vec_id
+            FROM fin a JOIN fin b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+             AND (b.centroid_d < a.centroid_d
+                  OR (b.centroid_d = a.centroid_d
+                      AND b.vec_id < a.vec_id))
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4)
+        SELECT f.vec_id, f.cid, f.centroid_d,
+               f.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+        FROM fin f"""
 
     o["embedding_dedup"] = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

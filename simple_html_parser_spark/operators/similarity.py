@@ -332,3 +332,63 @@ def embedding_knn_dedup(
             .alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.4,
+    n_clusters: int = 8, iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means cells.  The corpus is clustered with the
+    integer-exact Lloyd sweeps of :func:`kmeans_centroids`; two
+    vectors are semantic duplicates when their cosine ≥ τ *within the
+    same cell*; each duplicate neighborhood keeps one representative —
+    the member closest to its cell centroid (squared L2 on the
+    quantized grid), the deterministic form of the paper's
+    keep-low-centroid-similarity rule, with ties broken to the
+    smaller vec_id.
+
+    Output: one row per vector — (vec_id, cid, centroid_d, kept).
+    ``kept`` is false iff some same-cell neighbor with cosine ≥ τ has
+    (centroid_d, vec_id) strictly smaller — a per-vector screening
+    test (EXISTS), not transitive clustering, so the decision is
+    order- and partition-independent by construction.
+
+    Scale shape: the only quadratic work is the within-cell pair
+    join, exactly the paper's point — k bounds the cell population,
+    so at 10^12 vectors k grows (the paper uses 50k cells) and the
+    per-cell join stays tractable while assignment remains MAP-ONLY
+    (broadcast k-row centroids, zero corpus exchanges, see
+    :func:`_assign`).  The pair join shuffles on cid and carries the
+    embedding once per side; the drop-set join back is a LEFT join on
+    vec_id that AQE demotes to broadcast when the duplicate fraction
+    is small (the common case)."""
+    cents = kmeans_centroids(embeddings, n_clusters, iters)
+    va = embeddings.select(
+        "vec_id", "embedding", _quant(F.col("embedding")).alias("qe"))
+    # centroid distance rides the same broadcast the assignment used:
+    # join the k-row centroid table back on cid (broadcast) instead of
+    # re-folding the centroid array per row.
+    withd = (
+        _assign(va, cents)
+        .join(F.broadcast(cents), "cid")
+        .select("vec_id", "embedding", "cid",
+                _sq_l2(F.col("qe"), F.col("c")).alias("centroid_d")))
+    a = withd.alias("a")
+    b = withd.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .where(cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+               >= threshold)
+        .where((F.col("b.centroid_d") < F.col("a.centroid_d"))
+               | ((F.col("b.centroid_d") == F.col("a.centroid_d"))
+                  & (F.col("b.vec_id") < F.col("a.vec_id"))))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True)))
+    return (
+        withd.join(dropped, "vec_id", "left")
+        .select("vec_id", "cid", "centroid_d",
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )

@@ -1698,3 +1698,127 @@ def test_host_pagerank_overflow_guard(spark):
         "src_host string, dst_host string, n_links bigint")
     with _pytest.raises(Exception, match="overflow bound"):
         host_pagerank(edges, iters=1).collect()
+
+
+def _semdedup_reference(vecs: dict, k: int, iters: int, tau: float):
+    """Pure-Python replica of operators/similarity.semantic_dedup:
+    quantize → Lloyd (seeds = vec_id < k, floor(sum/count) updates,
+    (sqL2, cid) tie rule) → final assign → within-cell screening."""
+    import math
+
+    q = {i: [math.floor(x * 1_000_000 + 0.5) for x in v]
+         for i, v in vecs.items()}
+    cents = {i: q[i][:] for i in range(k)}
+    for _ in range(iters):
+        assign = {
+            i: min((sum((a - b) ** 2 for a, b in zip(qe, c)), cid)
+                   for cid, c in cents.items())[1]
+            for i, qe in q.items()}
+        newc = {}
+        for cid in set(assign.values()):
+            mem = [q[i] for i in q if assign[i] == cid]
+            newc[cid] = [
+                math.floor(sum(m[d] for m in mem) / len(mem))
+                for d in range(len(mem[0]))]
+        cents = newc
+    fin = {}
+    for i, qe in q.items():
+        d, cid = min(
+            (sum((a - b) ** 2 for a, b in zip(qe, cents[c])), c)
+            for c in cents)
+        fin[i] = (cid, d)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    # fragility guard: no pair cosine may sit within 1e-5 of τ (the
+    # Spark side rounds HALF_UP, Python banker's — keep them apart)
+    for i in vecs:
+        for j in vecs:
+            if i < j:
+                assert abs(cos(vecs[i], vecs[j]) - tau) > 1e-5
+    out = {}
+    for i, (cid, d) in fin.items():
+        dup = any(
+            jcid == cid and j != i
+            and cos(vecs[i], vecs[j]) >= tau
+            and ((jd, j) < (d, i))
+            for j, (jcid, jd) in fin.items())
+        out[i] = (cid, d, not dup)
+    return out
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """SemDeDup on a planted corpus: 30 LCG base vectors + 10 scaled
+    near-copies (cos ≈ 1) — the copies must lose to their originals'
+    smaller (centroid_d, vec_id) and everything else must survive the
+    τ=0.8 screen; full-frame equality vs the pure-Python replica."""
+    from simple_html_parser_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    state, dim = 987654321, 8
+    vecs = {}
+    for i in range(30):
+        row = []
+        for _ in range(dim):
+            state = (state * 48271) % 2147483647
+            row.append(round(state / 2147483647 * 2.0 - 1.0, 3))
+        vecs[i] = row
+    for i in range(10):
+        # scaled copy: same direction (cosine 1), different magnitude
+        # so the quantized grids (and centroid distances) differ
+        vecs[30 + i] = [round(x * 0.9, 6) for x in vecs[i]]
+    expected = _semdedup_reference(vecs, k=3, iters=2, tau=0.8)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: (r.cid, r.centroid_d, r.kept)
+           for r in semantic_dedup(
+               df, threshold=0.8, n_clusters=3, iters=2).collect()}
+    assert got == expected
+    kept = {i for i, v in got.items() if v[2]}
+    # the 10 planted copies guarantee drops; random dim-8 pairs may
+    # add more (cos sd ≈ 0.35), but never everything
+    assert 10 <= 40 - len(kept) < 25
+    # a planted copy and its original never BOTH survive when they
+    # share a cell (cos = 1 ≥ τ by construction)
+    for i in range(10):
+        if got[i][0] == got[30 + i][0]:
+            assert not (got[i][2] and got[30 + i][2])
+    # every dropped vector has a strictly better same-cell partner
+    # with cosine ≥ τ — the screening rule, asserted on the SPARK
+    # output directly (not just via reference equality)
+    import math as _m
+
+    def _cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(a, b))
+            / (_m.sqrt(sum(x * x for x in a))
+               * _m.sqrt(sum(x * x for x in b))), 6)
+
+    for i, (cid, d, k_) in got.items():
+        if not k_:
+            assert any(
+                j != i and got[j][0] == cid
+                and _cos(vecs[i], vecs[j]) >= 0.8
+                and (got[j][1], j) < (d, i)
+                for j in got)
+
+
+def test_semantic_dedup_partition_independent(spark):
+    from simple_html_parser_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = load_table(spark, SF, "embeddings")
+    a = {tuple(r) for r in semantic_dedup(
+        base.repartition(1), threshold=0.4).collect()}
+    b = {tuple(r) for r in semantic_dedup(
+        base.repartition(13), threshold=0.4).collect()}
+    assert a == b and len(a) == base.count()
+    assert {r[3] for r in a} == {True, False}

@@ -175,6 +175,16 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "is the k-row centroid aggregation itself",
      ["BroadcastNestedLoopJoin Cross", "BroadcastHashJoin LeftSemi",
       "TakeOrderedAndProject"], ["SortMergeJoin"]),
+    ("semantic_dedup",
+     "SemDeDup: cell assignment is the same map-only per-row fold as "
+     "ann_kmeans_topk (1-row broadcast centroid frame, no corpus "
+     "exchange to learn the cell), centroid distances via broadcast "
+     "k-row join; the ONLY quadratic work is the within-cell pair "
+     "join — an equi-join on cid (never a cartesian product), with "
+     "the embedding crossing the exchange once per vector per side; "
+     "no Python stage, no window",
+     ["BroadcastNestedLoopJoin Cross", "SortMergeJoin"],
+     ["CartesianProduct", "MapInArrow", "MapInPandas", "Window"]),
     ("dedup_clusters",
      "connected components converge INSIDE the checkpointed loop: "
      "the returned label frame is a projection of the final "
