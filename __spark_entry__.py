@@ -604,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis ----
     q["token_stats"] = lambda spark, sf: T.token_count_cols(
         _raw_docs(spark, sf))
+    # integer-exact tf-idf keywords (floor-log2 idf, the lm_fluency/
+    # dsir weight convention — replayable bit-exactly by DuckDB)
+    q["tfidf_topk"] = lambda spark, sf: T.tfidf_topk(
+        _raw_docs(spark, sf), k=5)
     q["quality_score"] = lambda spark, sf: T.quality_score(
         _raw_docs(spark, sf))
     q["doc_fingerprint"] = lambda spark, sf: T.doc_fingerprints(
@@ -744,8 +748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     refresh within the same embedding-dedup family, so
     #     semantic_dedup takes the slot and srp_lsh (driver-green r2,
     #     locally green every round since) rotates out;
-    #   * last-green-r3 block: crawl_delta/domain_mix/domain_quota/
-    #     domain_sample;
+    #   * last-green-r3 block: crawl_delta/domain_mix/domain_quota
+    #     (domain_sample, r3-green, gave its slot to the late-r5
+    #     never-driver-green tfidf_topk — the crawl-sampling family
+    #     keeps mix + quota in-window);
     #   * never-driver-green r5 additions: crawl_token_budget,
     #     link_graph, link_pagerank, dedup_substrings, lm_fluency,
     #     gopher_rules, repetition_filters, dsir_weights, curate_full,
@@ -785,7 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup", "lang_distribution", "repetition_stats",
         "frame_sample",
         "crawl_domain_mix", "crawl_domain_quota",
-        "crawl_domain_sample",
+        "tfidf_topk",
         "gopher_rules", "repetition_filters", "dsir_weights",
         "curate_full", "stream_sessionize",
         "q1_pricing", "q3_top_orders",
@@ -1249,6 +1255,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '{PII.PII_PHONE}'))
                     AS BIGINT) AS n_phones
         FROM e2"""
+
+    # integer-exact tf-idf: floor-log2 idf = length(bin(x)) - 1 on
+    # both engines; df over the aggregated tf frame; ties by term asc
+    o["tfidf_topk"] = f"""
+        WITH tf AS (
+            SELECT doc_id, tok AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok),
+        dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfc.df_docs,
+                   CAST(tf.tf * ((length(bin(n.nd)) - 1)
+                        - (length(bin(dfc.df_docs)) - 1)) AS BIGINT)
+                       AS score
+            FROM tf JOIN dfc USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df_docs, score, rnk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, term) AS BIGINT) AS rnk
+            FROM scored) WHERE rnk <= 5"""
 
     # OOV vs the corpus common-vocabulary head (df-cut mirrored from
     # textstats.common_vocab: df > max(50, 1%·N) over distinct

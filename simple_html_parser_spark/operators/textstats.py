@@ -256,3 +256,51 @@ def oov_stats(docs: DataFrame, df_floor: int = 50,
         .select("doc_id", "n_tokens", "n_oov",
                 F.expr("n_oov * 10000 div n_tokens").alias("oov_bp"))
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k keyword extraction by integer-exact tf-idf
+    (the classic Salton & Buckley 1988 weighting, distributable form).
+
+    score = tf · (⌊log2 N⌋ − ⌊log2 df⌋) — the floor-log2 idf keeps the
+    weight integer (length(bin(x)) − 1, the lm_fluency/dsir convention)
+    so the DuckDB oracle replays it bit-exactly; a float ln() idf would
+    differ across engines in the last ulp and break rank ties.
+
+    Output: (doc_id, term, tf, df_docs, score, rnk ≤ k), ties broken
+    by term ascending (binary collation on both engines).
+
+    Scale shape: tf is one explode + partial-aggregating hash-agg on
+    (doc_id, term); df reuses the SAME aggregated frame (never a
+    second corpus pass) keyed on term — Zipf-head skew is absorbed by
+    map-side partial counts; the tf↔df equi-join on term is
+    co-partitioned and AQE's skew-join splits the stopword keys; the
+    only Window partitions by doc_id, so each sort group is bounded
+    by one document's distinct-term count, never the corpus."""
+    from pyspark.sql import Window
+
+    tf = (docs.select("doc_id", tokens_col().alias("_t"))
+          .select("doc_id", F.explode("_t").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    dfc = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df_docs"))
+    n = docs.agg(F.count("*").alias("_nd"))
+    bl = (lambda c: F.length(F.bin(c)) - 1)  # ⌊log2 x⌋ for x ≥ 1
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df_docs",
+            (F.col("tf") * (bl(F.col("_nd")) - bl(F.col("df_docs"))))
+            .cast("bigint").alias("score")))
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy(F.col("score").desc(), "term"))
+            .cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "score", "rnk")
+    )

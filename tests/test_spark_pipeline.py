@@ -1822,3 +1822,54 @@ def test_semantic_dedup_partition_independent(spark):
         base.repartition(13), threshold=0.4).collect()}
     assert a == b and len(a) == base.count()
     assert {r[3] for r in a} == {True, False}
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    """Integer-exact tf-idf on a tiny planted corpus: shared stopword
+    scores idf 0 at df=N; rarer terms rank first; ties break by term."""
+    from pyspark.sql import Row
+
+    from simple_html_parser_spark.operators.textstats import tfidf_topk
+
+    rows = [
+        Row(doc_id=0, text="the cat sat on the mat"),
+        Row(doc_id=1, text="the dog ate the cat food"),
+        Row(doc_id=2, text="the quick brown fox the fox"),
+        Row(doc_id=3, text="the  cat"),  # double space → empty dropped
+    ]
+
+    def bl(x):
+        return x.bit_length() - 1
+
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in rows}
+    nd = len(rows)
+    tf = {(d, t): ts.count(t) for d, ts in toks.items() for t in set(ts)}
+    dfc = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            dfc[t] = dfc.get(t, 0) + 1
+    expected = set()
+    for d in toks:
+        scored = sorted(
+            ((tf[(d, t)] * (bl(nd) - bl(dfc[t])), t)
+             for t in set(toks[d])), key=lambda s: (-s[0], s[1]))
+        for rnk, (sc, t) in enumerate(scored[:5], start=1):
+            expected.add((d, t, tf[(d, t)], dfc[t], sc, rnk))
+    got = {tuple(r) for r in tfidf_topk(
+        spark.createDataFrame(rows), k=5).collect()}
+    assert got == expected
+    # the universal stopword "the" scores exactly 0 everywhere
+    assert all(sc == 0 for (_, t, _, _, sc, _) in got if t == "the")
+    assert any(sc > 0 for (_, _, _, _, sc, _) in got)
+
+
+def test_tfidf_topk_partition_independent(spark):
+    from simple_html_parser_spark.operators.textstats import tfidf_topk
+    from simple_html_parser_spark.sources.documents import load_table
+
+    base = (load_table(spark, SF, "documents")
+            .select("doc_id", "text").limit(120))
+    a = {tuple(r) for r in tfidf_topk(base.repartition(1)).collect()}
+    b = {tuple(r) for r in tfidf_topk(base.repartition(13)).collect()}
+    assert a == b
+    assert len(a) == 120 * 5  # every doc has ≥5 distinct terms here

@@ -175,6 +175,15 @@ AUDITS: list[tuple[str, str, list[str], list[str]]] = [
      "is the k-row centroid aggregation itself",
      ["BroadcastNestedLoopJoin Cross", "BroadcastHashJoin LeftSemi",
       "TakeOrderedAndProject"], ["SortMergeJoin"]),
+    ("tfidf_topk",
+     "integer tf-idf keywords: tf is one explode + partial-"
+     "aggregating hash-agg on (doc_id, term); df REUSES the "
+     "aggregated tf frame (no second corpus pass); N arrives as a "
+     "1-row broadcast; the only Window partitions by doc_id so each "
+     "sort group is one document's distinct terms, never the corpus; "
+     "no Python stage",
+     ["HashAggregate", "Window", "BroadcastNestedLoopJoin Cross"],
+     ["MapInArrow", "MapInPandas"]),
     ("semantic_dedup",
      "SemDeDup: cell assignment is the same map-only per-row fold as "
      "ann_kmeans_topk (1-row broadcast centroid frame, no corpus "
