@@ -32,6 +32,7 @@ def _curate_filtered(
     base: DataFrame,
     out_cols: list[str],
     near_dup_threshold: float,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """Shared dedup tail of every curation flow: keep ``base`` rows
     that are their exact-dup representative and not a near-dup loser.
@@ -45,7 +46,8 @@ def _curate_filtered(
     dedup.shingle_drop_stats for the observability counterpart."""
     exact_keep = dedup_exact(docs).select("doc_id")
     clusters = dedup_clusters(docs, threshold=near_dup_threshold,
-                              max_shingle_df="auto")
+                              max_shingle_df="auto",
+                              unpersist_handles=unpersist_handles)
     near_losers = clusters.where(
         F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return (
@@ -104,6 +106,8 @@ def curate_web(
     quality_min_bp: int = 5500,
     oov_max_bp: int = 600,
     near_dup_threshold: float = 0.30,
+    persist_scrubbed: bool = True,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """The full web-crawl curation flow as ONE declarative plan:
 
@@ -120,23 +124,40 @@ def curate_web(
     the reason real pipelines scrub before dedup).  Returns
     (doc_id, pred_lang, quality_bp, oov_bp).  Same broadcast/AQE
     discipline as ``curate``; the added stages are a codegen regexp
-    pass (scrub) and one broadcast-head join (OOV)."""
+    pass (scrub) and one broadcast-head join (OOV).
+
+    ``persist_scrubbed`` (default True) caches the scrubbed corpus
+    projection MEMORY_AND_DISK: FIVE downstream consumers (the
+    quality/lang base, the OOV head + explode, exact dedup, the LSH
+    shingle pass) otherwise each re-run the three scrub regexps over
+    the full corpus inside their own scan — the same measured
+    trade-off as curate_full's survivor persist (r5 A/B ~15s vs ~24s).
+    At 10^12 docs the cache spills to executor-local disk; pass False
+    to trade recompute for memory.  ``unpersist_handles``: persisted
+    frames (including dedup's internal ones) are appended here when
+    the caller passes a list, so a resident pipeline can release them
+    after materializing the result."""
     from .pii import scrub_col
     from .textstats import oov_stats
 
     # scrub is a pure projection — NOT a join against pii_scrub()
     # output (that would shuffle the corpus against itself once per
-    # downstream branch); every stage below re-derives the scrubbed
-    # text inside its own scan+project, all codegen
+    # downstream branch); every stage below derives the scrubbed
+    # text from this frame inside its own scan+project, all codegen
     docs2 = docs.select("doc_id", "lang",
                         scrub_col(F.col("text")).alias("text"))
+    if persist_scrubbed:
+        from pyspark import StorageLevel
+        docs2 = docs2.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handles is not None:
+            unpersist_handles.append(docs2)
     base = _quality_lang_base(
         docs2, quality_min_bp,
         extra=F.col("oov_bp") <= oov_max_bp,
         extra_frames=[oov_stats(docs2).select("doc_id", "oov_bp")])
     return _curate_filtered(
         docs2, base, ["doc_id", "pred_lang", "quality_bp", "oov_bp"],
-        near_dup_threshold)
+        near_dup_threshold, unpersist_handles=unpersist_handles)
 
 
 def curate_full(
@@ -147,6 +168,7 @@ def curate_full(
     gopher_min_words: int = 50,
     gopher_stops: tuple[str, ...] | None = None,
     persist_survivors: bool = True,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """curate_web extended with the r5 filter tiers — the full modern
     recipe (RefinedWeb/FineWeb shape) as ONE declarative plan:
@@ -197,6 +219,8 @@ def curate_full(
     if persist_survivors:
         from pyspark import StorageLevel
         docs3 = docs3.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handles is not None:
+            unpersist_handles.append(docs3)
     flu = lm_fluency(docs3.select("doc_id", "text", "lang")) \
         .select("doc_id", "fluency_bp", "bucket")
     base = _quality_lang_base(
@@ -209,4 +233,4 @@ def curate_full(
         docs3, base,
         ["doc_id", "pred_lang", "quality_bp", "oov_bp", "fluency_bp",
          "bucket"],
-        near_dup_threshold)
+        near_dup_threshold, unpersist_handles=unpersist_handles)

@@ -439,6 +439,7 @@ def dedup_clusters(
     max_shingle_df: int | str | None = None, max_iters: int = 80,
     pairs: DataFrame | None = None, source: str = "lsh",
     pointer_jump: bool = True,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph →
     (doc_id, cluster_id) where cluster_id = min doc_id in the
@@ -482,8 +483,18 @@ def dedup_clusters(
     if pairs is None:
         fn = dedup_ngram_jaccard if source == "exact" else dedup_minhash_lsh
         pairs = fn(docs, n=n, threshold=threshold,
-                   max_shingle_df=max_shingle_df)
-    pairs = pairs.select("doc_a", "doc_b")
+                   max_shingle_df=max_shingle_df,
+                   unpersist_handles=unpersist_handles)
+    # Materialize the pair list ONCE before symmetrizing: `pairs`
+    # appears in BOTH branches of the union below, and Catalyst does
+    # not share subtrees across union branches, so without this
+    # checkpoint the whole candidate+verification pipeline executed
+    # TWICE inside the edges job (r6 instrumented A/B at sf0.1:
+    # edges materialization 5.7-10.3s vs 3.7s for one pairs pass —
+    # the un-persisted per-candidate-doc shingle-set aggregation was
+    # the re-executed half; post-fix the edges job reads the
+    # checkpointed pair partitions twice instead).
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).distinct() \

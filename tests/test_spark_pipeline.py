@@ -1184,6 +1184,33 @@ def test_curate_full_composes_stage_outputs(spark):
             (lang[d], qual[d], oov[d], flu[d][0], flu[d][1])
 
 
+def test_curation_unpersist_handles_release_caches(spark):
+    """curate_web/curate_full append every frame they persist to
+    ``unpersist_handles`` so a resident pipeline can release the
+    cache after materializing the result (bench survives via
+    clearCache; production would not)."""
+    from simple_html_parser_spark.operators import curation as CU
+    from simple_html_parser_spark.sources.documents import load_table
+
+    docs = load_table(spark, SF, "documents") \
+        .select("doc_id", "lang", "text")
+    for fn, kw in ((CU.curate_web, {}),
+                   (CU.curate_full,
+                    dict(gopher_min_words=10, gopher_stops=("the", "a")))):
+        handles: list = []
+        out = fn(docs, unpersist_handles=handles, **kw)
+        out.count()
+        # the scrubbed/survivor frame plus dedup's internal frames
+        assert len(handles) >= 2
+        assert any(h.storageLevel.useMemory or h.storageLevel.useDisk
+                   for h in handles)
+        for h in handles:
+            h.unpersist()
+        assert all(not (h.storageLevel.useMemory
+                        or h.storageLevel.useDisk) for h in handles)
+    spark.catalog.clearCache()
+
+
 def test_decontaminate_flags_benchmark_overlap(spark):
     """A doc sharing 3-grams with the benchmark slice is scored; the
     benchmark docs themselves are excluded from the output."""
