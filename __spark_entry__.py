@@ -322,28 +322,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "n_nodes", "n_text_nodes", "n_bytes"))
 
     # ---- exploded nodes view (tree semantics, SQL-checkable) ----
+    # every parse_nodes query passes ``columns=``: Catalyst cannot
+    # prune into the Python stage, so the emission itself is pruned
+    # to exactly what the query reads (identical values, guide §4)
     q["nodes_type_counts"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf), columns=["type"])
         .groupBy("type").agg(F.count("*").alias("n")))
     q["nodes_tag_counts"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf), columns=["type", "name"])
         .where(F.col("type") == "tag-open")
         .groupBy("name").agg(F.count("*").alias("n")))
     q["doc_links"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf), columns=["url", "attrs"])
         .where(F.col("attrs")["href"].isNotNull())
         .select("url", F.col("attrs")["href"].alias("href")))
     q["doc_comments"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf),
+                    columns=["url", "type", "content", "comment_type"])
         .where(F.col("type") == "comment")
         .select("url", "content", "comment_type"))
     q["css_rule_selectors"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf),
+                    columns=["url", "type", "css_selector",
+                             "css_declarations"])
         .where(F.col("type") == "css-rule")
         .select("url", "css_selector",
                 F.col("css_declarations")["color"].alias("color")))
     q["nodes_structure_map"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf),
+                    columns=["node_id", "subtree_end", "bfs_rank",
+                             "depth"])
         .select("node_id", "bfs_rank", "depth", "subtree_end")
         .distinct())
     # DataFrame-level selector ops over the nodes view (SURVEY §2.3):
@@ -351,18 +359,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # matches 21 (kernel-derived constants, golden-verified)
     q["sql_qsa_descendant"] = lambda spark, sf: (
         DS.descendant_select(
-            parse_nodes(_docs(spark, sf)),
+            parse_nodes(_docs(spark, sf),
+                        columns=["url", "node_id", "subtree_end",
+                                 "bfs_rank", "type", "name"]),
             DS.is_tag("nav"), DS.is_tag("a")))
     q["sql_qsa_class"] = lambda spark, sf: (
-        DS.select_nodes(parse_nodes(_docs(spark, sf)),
-                        DS.has_class("main"))
+        DS.select_nodes(
+            parse_nodes(_docs(spark, sf),
+                        columns=["url", "node_id", "bfs_rank", "type",
+                                 "name", "attrs"]),
+            DS.has_class("main"))
         .select("url", "node_id", "bfs_rank", "name"))
     q["sql_attr_count"] = lambda spark, sf: (
         DS.count_matches_per_doc(
-            parse_nodes(_docs(spark, sf)), DS.has_attr("href"),
+            parse_nodes(_docs(spark, sf),
+                        columns=["url", "type", "attrs"]),
+            DS.has_attr("href"),
             "n_links"))
     q["deep_text_nodes"] = lambda spark, sf: (
-        parse_nodes(_docs(spark, sf))
+        parse_nodes(_docs(spark, sf),
+                    columns=["url", "depth", "type", "content"])
         .where((F.col("type") == "text") & (F.col("depth") >= 3))
         .groupBy("url").agg(
             F.count("*").alias("n_deep_text"),
@@ -373,17 +389,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comment submachine, and serialization under the driver oracle ----
     _struct_cols = ["node_id", "bfs_rank", "depth", "subtree_end",
                     "type", "name"]
+    _struct_emit = ["node_id", "subtree_end", "bfs_rank", "depth",
+                    "type", "name"]
     q["voids_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "voids"))
+        parse_nodes(load_documents_variant(spark, sf, "voids"),
+                    columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["special_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "special"))
+        parse_nodes(load_documents_variant(spark, sf, "special"),
+                    columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["malformed_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "malformed"))
+        parse_nodes(load_documents_variant(spark, sf, "malformed"),
+                    columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["special_js_tokens"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "special"))
+        parse_nodes(load_documents_variant(spark, sf, "special"),
+                    columns=["url", "node_id", "type", "content",
+                             "comment_type"])
         .where(F.col("node_id").isin(4, 5, 6, 7, 10, 13))
         .select("url", "node_id", "type", "comment_type", "content"))
     # the reference constructor's ONLY parameter
@@ -395,11 +418,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # special_tags=['script'] matches the kernel dump byte-for-byte).
     q["special_tags_config"] = lambda spark, sf: (
         parse_nodes(load_documents_variant(spark, sf, "special"),
-                    special_tags=("script",))
+                    special_tags=("script",),
+                    columns=["url", "node_id", "subtree_end",
+                             "bfs_rank", "depth", "type", "name",
+                             "content", "comment_type"])
         .select("url", "node_id", "bfs_rank", "depth", "subtree_end",
                 "type", "name", "comment_type", "content"))
     q["voids_attrs"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "voids"))
+        parse_nodes(load_documents_variant(spark, sf, "voids"),
+                    columns=["url", "name", "attrs"])
         .where(F.col("name").isin("img", "input"))
         .select("url", "name",
                 F.col("attrs")["src"].alias("src"),

@@ -109,8 +109,12 @@ def _make_extract_fn(profile: ExtractionProfile,
                     ms = (time.perf_counter() - t0) * 1e3
                     cols["url"].append(url)
                     cols["extracted_text"].append(res.text)
-                    cols["spans"].append(
-                        [{"start": s, "end": e} for s, e in res.spans])
+                    # res.spans is already a list of (start, end)
+                    # tuples and pyarrow builds struct arrays from
+                    # tuples directly — the per-span dict conversion
+                    # was pure allocation overhead (80+ spans/page on
+                    # the text-heavy bench corpus)
+                    cols["spans"].append(res.spans)
                     cols["n_nodes"].append(res.n_nodes)
                     cols["n_text_nodes"].append(res.n_text_nodes)
                     cols["n_bytes"].append(n_bytes)
@@ -235,88 +239,137 @@ _PA_NODES = pa.schema([
 ])
 
 
+# error-marker row values per column (type='error', content=message;
+# NEVER drop a document silently: at 10^12 docs a pathological page
+# must leave a trace)
+_ERROR_ROW = {
+    "node_id": 0, "parent_id": -1, "subtree_end": 0, "bfs_rank": 0,
+    "depth": 0, "type": "error", "name": None, "attrs": None,
+    "comment_type": None, "style_block": False, "script_block": False,
+    "css_selector": None, "css_name": None, "css_params": None,
+    "css_declarations": None, "src_start": 0, "src_end": 0,
+}
+
+
+def _sparse_list(sc, n: int) -> list:
+    """SparseColumn → dense list (None-filled) without n dict probes."""
+    out = [None] * n
+    for k, v in sc.d.items():
+        out[k] = v
+    return out
+
+
 def _make_nodes_fn(max_nodes: int,
-                   special_tags: tuple[str, ...] | None = None):
+                   special_tags: tuple[str, ...] | None = None,
+                   columns: list[str] | None = None):
     special = (tuple(special_tags) if special_tags is not None
                else DEFAULT_SPECIAL_TAGS)
+    names = list(_PA_NODES.names) if columns is None else list(columns)
+    schema = pa.schema([_PA_NODES.field(c) for c in names])
+    need = set(names)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
-            cols = {name: [] for name in _PA_NODES.names}
+            cols = {name: [] for name in names}
             for url, raw in zip(urls, htmls):
                 try:
                     t = parse_html(_decode(raw), special,
                                    max_nodes=max_nodes)
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
-                    # NEVER drop a document silently: at 10^12 docs a
-                    # pathological page must leave a trace.  One marker
-                    # row (type='error', content=message) per failed doc.
-                    cols["url"].append(url)
-                    cols["node_id"].append(0)
-                    cols["parent_id"].append(-1)
-                    cols["subtree_end"].append(0)
-                    cols["bfs_rank"].append(0)
-                    cols["depth"].append(0)
-                    cols["type"].append("error")
-                    cols["name"].append(None)
-                    cols["attrs"].append(None)
-                    cols["content"].append(f"{type(e).__name__}: {e}")
-                    cols["comment_type"].append(None)
-                    cols["style_block"].append(False)
-                    cols["script_block"].append(False)
-                    cols["css_selector"].append(None)
-                    cols["css_name"].append(None)
-                    cols["css_params"].append(None)
-                    cols["css_declarations"].append(None)
-                    cols["src_start"].append(0)
-                    cols["src_end"].append(0)
+                    for k in names:
+                        cols[k].append(
+                            url if k == "url"
+                            else f"{type(e).__name__}: {e}"
+                            if k == "content" else _ERROR_ROW[k])
                     continue
-                end = t.subtree_end()
+                # COLUMNAR emission: the FlatTree already is
+                # struct-of-arrays, so each requested column is one
+                # C-level list extend (or a single comprehension)
+                # instead of 19 per-node appends — and unrequested
+                # columns (incl. the per-doc BFS/depth Python passes)
+                # are never computed.  Measured r6: full emission
+                # 0.46s CPU for 200k nodes row-at-a-time vs
+                # per-column extends; callers that prune (e.g.
+                # nodes_type_counts needs only `type`) skip both the
+                # build and the Arrow transport of 19-column rows.
                 n = len(t.type)
-                bfs_rank = [0] * n
-                for rank, nid in enumerate(t.bfs_order(0)):
-                    bfs_rank[nid] = rank
-                depth = [0] * n
-                for nid in range(1, n):
-                    depth[nid] = depth[t.parent[nid]] + 1
-                for nid in range(n):
-                    attrs = t.attrs[nid]
-                    decls = t.css_decls[nid]
-                    cols["url"].append(url)
-                    cols["node_id"].append(nid)
-                    cols["parent_id"].append(t.parent[nid])
-                    cols["subtree_end"].append(end[nid])
-                    cols["bfs_rank"].append(bfs_rank[nid])
-                    cols["depth"].append(depth[nid])
-                    cols["type"].append(t.type[nid])
-                    cols["name"].append(t.name[nid])
-                    cols["attrs"].append(
-                        list(attrs.items()) if attrs is not None else None)
-                    cols["content"].append(t.content[nid])
-                    cols["comment_type"].append(t.comment_type[nid])
-                    cols["style_block"].append(t.is_style_block(nid))
-                    cols["script_block"].append(t.is_script_block(nid))
-                    cols["css_selector"].append(t.css_selector[nid])
-                    cols["css_name"].append(t.css_name[nid])
-                    cols["css_params"].append(t.css_params[nid])
-                    cols["css_declarations"].append(
-                        list(decls.items()) if decls is not None else None)
-                    cols["src_start"].append(t.src_start[nid])
-                    cols["src_end"].append(t.src_end[nid])
-            if cols["url"]:
+                if "url" in need:
+                    cols["url"].extend([url] * n)
+                if "node_id" in need:
+                    cols["node_id"].extend(range(n))
+                if "parent_id" in need:
+                    cols["parent_id"].extend(t.parent)
+                if "subtree_end" in need:
+                    cols["subtree_end"].extend(t.subtree_end())
+                if "bfs_rank" in need:
+                    bfs_rank = [0] * n
+                    for rank, nid in enumerate(t.bfs_order(0)):
+                        bfs_rank[nid] = rank
+                    cols["bfs_rank"].extend(bfs_rank)
+                if "depth" in need:
+                    depth = [0] * n
+                    parent = t.parent
+                    for nid in range(1, n):
+                        depth[nid] = depth[parent[nid]] + 1
+                    cols["depth"].extend(depth)
+                if "type" in need:
+                    cols["type"].extend(t.type)
+                if "name" in need:
+                    cols["name"].extend(t.name)
+                if "attrs" in need:
+                    cols["attrs"].extend(
+                        list(a.items()) if a is not None else None
+                        for a in t.attrs)
+                if "content" in need:
+                    cols["content"].extend(t.content)
+                if "comment_type" in need:
+                    cols["comment_type"].extend(
+                        _sparse_list(t.comment_type, n))
+                if "style_block" in need:
+                    cols["style_block"].extend(
+                        (f & 1) != 0 for f in t.flags)
+                if "script_block" in need:
+                    cols["script_block"].extend(
+                        (f & 2) != 0 for f in t.flags)
+                if "css_selector" in need:
+                    cols["css_selector"].extend(
+                        _sparse_list(t.css_selector, n))
+                if "css_name" in need:
+                    cols["css_name"].extend(_sparse_list(t.css_name, n))
+                if "css_params" in need:
+                    cols["css_params"].extend(
+                        _sparse_list(t.css_params, n))
+                if "css_declarations" in need:
+                    cols["css_declarations"].extend(
+                        list(d.items()) if d is not None else None
+                        for d in _sparse_list(t.css_decls, n))
+                if "src_start" in need:
+                    cols["src_start"].extend(t.src_start)
+                if "src_end" in need:
+                    cols["src_end"].extend(t.src_end)
+            if cols[names[0]]:
                 yield pa.RecordBatch.from_pydict(
-                    {k: pa.array(v, type=_PA_NODES.field(k).type)
+                    {k: pa.array(v, type=schema.field(k).type)
                      for k, v in cols.items()},
-                    schema=_PA_NODES)
+                    schema=schema)
 
     return fn
 
 
+# per-column DDL (split-safe: no NODES_SCHEMA type contains ', ')
+_NODES_DDL = {
+    s.strip().split(" ", 1)[0]: s.strip()
+    for s in NODES_SCHEMA.split(", ")
+}
+assert list(_NODES_DDL) == list(_PA_NODES.names), _NODES_DDL
+
+
 def parse_nodes(df: DataFrame, salt_partitions: int | None = None,
                 max_nodes: int = MAX_NODES_PER_DOC,
-                special_tags: tuple[str, ...] | None = None) -> DataFrame:
+                special_tags: tuple[str, ...] | None = None,
+                columns: list[str] | None = None) -> DataFrame:
     """documents(url, html) → one row per SOM node (FIXTURES.md §3) —
     the SQL-queryable tree view used for oracle-checked operators.
     Unparseable / over-``max_nodes`` docs yield one type='error' marker
@@ -324,9 +377,25 @@ def parse_nodes(df: DataFrame, salt_partitions: int | None = None,
     ``special_tags`` is the reference constructor's only parameter
     (`/root/reference/src/simple-html-parser.js:37`) — tags whose
     content runs through the JS submachine instead of the tree
-    builder; default ('jhp', 's_')."""
+    builder; default ('jhp', 's_').
+
+    ``columns`` prunes the EMITTED node view to the listed subset (in
+    NODES_SCHEMA order recommended): Catalyst's column pruning cannot
+    see into the Python stage, so an opaque mapInArrow otherwise
+    builds and ships all 19 columns — including the per-document
+    BFS-rank and depth passes — for a query that reads one of them
+    (guide §4: pass only the columns the function needs; here the
+    output side).  Values of the emitted columns are identical to the
+    full view's."""
     pruned = df.select("url", "html")
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions, F.xxhash64("url"))
-    return pruned.mapInArrow(_make_nodes_fn(max_nodes, special_tags),
-                             NODES_SCHEMA)
+    if columns is None:
+        schema = NODES_SCHEMA
+    else:
+        unknown = [c for c in columns if c not in _NODES_DDL]
+        if unknown:
+            raise ValueError(f"unknown node columns: {unknown}")
+        schema = ", ".join(_NODES_DDL[c] for c in columns)
+    return pruned.mapInArrow(
+        _make_nodes_fn(max_nodes, special_tags, columns), schema)

@@ -54,7 +54,9 @@ def host_link_graph(docs: DataFrame) -> DataFrame:
     their own host, anything else resolves against the source page's
     host.  One hash-agg (map-side partials absorb host skew — the
     viral-host edge is pre-combined per task before the exchange)."""
-    nodes = parse_nodes(docs)
+    # emission pruned to the four columns the anchor filter reads —
+    # the Python stage otherwise builds and ships all 19 (guide §4)
+    nodes = parse_nodes(docs, columns=["url", "type", "name", "attrs"])
     href = F.col("attrs")["href"]
     src = F.regexp_extract("url", _HOST_RE, 1)
     dst = (F.when(href.rlike(_HOST_RE),

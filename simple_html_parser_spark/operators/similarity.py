@@ -337,6 +337,7 @@ def embedding_knn_dedup(
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.4,
     n_clusters: int = 8, iters: int = 2,
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means cells.  The corpus is clustered with the
@@ -362,7 +363,29 @@ def semantic_dedup(
     :func:`_assign`).  The pair join shuffles on cid and carries the
     embedding once per side; the drop-set join back is a LEFT join on
     vec_id that AQE demotes to broadcast when the duplicate fraction
-    is small (the common case)."""
+    is small (the common case).
+
+    The pair join is on ``a.vec_id < b.vec_id`` and each unordered
+    pair pays exactly ONE dot product (per-vector norms are
+    precomputed on ``withd``, the embedding_srp_lsh convention —
+    HOF array expressions dominate per-pair cost, and the former
+    ``!=`` join evaluated the full cosine twice per pair); the losing
+    side of each duplicate pair — the larger (centroid_d, vec_id) —
+    is emitted from whichever of a/b it is.  dot/(na*nb) is the same
+    fp expression as cosine_sim with the norm factors evaluated
+    early: values are bit-identical, so the kept set is unchanged.
+
+    ``max_cell`` guards the quadratic work (the dedup-family
+    ``max_bucket`` convention, enforced rather than documented): the
+    job RAISES when any cell's population exceeds it — the signal
+    that k is too small for the corpus (the paper scales k with n;
+    50k cells at their scale).  A degenerate corpus otherwise
+    concentrates mass in one cell and the join silently goes
+    all-pairs.  ``None`` disables; 0/negative are rejected loudly
+    (falsy-zero trap)."""
+    if max_cell is not None and max_cell < 1:
+        raise ValueError(
+            f"max_cell must be >= 1 or None, got {max_cell}")
     cents = kmeans_centroids(embeddings, n_clusters, iters)
     va = embeddings.select(
         "vec_id", "embedding", _quant(F.col("embedding")).alias("qe"))
@@ -373,18 +396,42 @@ def semantic_dedup(
         _assign(va, cents)
         .join(F.broadcast(cents), "cid")
         .select("vec_id", "embedding", "cid",
+                _norm(F.col("embedding")).alias("nrm"),
                 _sq_l2(F.col("qe"), F.col("c")).alias("centroid_d")))
+    if max_cell is not None:
+        # k-row population frame, broadcast back onto the pair join's
+        # build side; the guard evaluates once per cell member pair
+        # source row, raising before any oversized cell can explode
+        cell_sizes = withd.groupBy("cid").agg(
+            F.count("*").alias("_cn"))
+        guard = F.when(
+            F.col("_cn") > max_cell,
+            F.raise_error(F.concat(
+                F.lit("semantic_dedup: cell "), F.col("cid"),
+                F.lit(" holds "), F.col("_cn"),
+                F.lit(f" > max_cell={max_cell} vectors; the "
+                      "within-cell pair join is quadratic in cell "
+                      "size — raise n_clusters (the paper scales k "
+                      "with corpus size) or max_cell"))),
+        ).otherwise(F.col("_cn"))
+        withd = (withd.join(F.broadcast(cell_sizes), "cid")
+                 .where(guard > 0)
+                 .drop("_cn"))
     a = withd.alias("a")
     b = withd.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    loser = F.when(
+        (F.col("a.centroid_d") > F.col("b.centroid_d"))
+        | ((F.col("a.centroid_d") == F.col("b.centroid_d"))
+           & (F.col("a.vec_id") > F.col("b.vec_id"))),
+        F.col("a.vec_id")).otherwise(F.col("b.vec_id"))
     dropped = (
         a.join(b, (F.col("a.cid") == F.col("b.cid"))
-               & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .where(cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
-               >= threshold)
-        .where((F.col("b.centroid_d") < F.col("a.centroid_d"))
-               | ((F.col("b.centroid_d") == F.col("a.centroid_d"))
-                  & (F.col("b.vec_id") < F.col("a.vec_id"))))
-        .select(F.col("a.vec_id").alias("vec_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(pair_cos >= threshold)
+        .select(loser.alias("vec_id"))
         .distinct()
         .withColumn("_dup", F.lit(True)))
     return (

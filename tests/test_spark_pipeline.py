@@ -1836,6 +1836,34 @@ def test_semantic_dedup_matches_python_reference(spark):
                 for j in got)
 
 
+def test_semantic_dedup_max_cell_guard(spark):
+    """A pathological corpus that concentrates in one cell must RAISE
+    when the cell exceeds max_cell (the dedup-family max_bucket
+    convention, enforced) and succeed untouched when the guard is
+    loosened or disabled — the guard never changes kept/dropped."""
+    import pytest as _pytest
+
+    from simple_html_parser_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 40 near-identical vectors: every one lands in the same k-means
+    # cell (k=2 seeds are vectors 0/1, themselves near-identical)
+    rows = [(i, [1.0 + i * 1e-6, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    with _pytest.raises(Exception, match="max_cell"):
+        semantic_dedup(df, threshold=0.4, n_clusters=2,
+                       max_cell=10).collect()
+    loose = {r.vec_id: r.kept for r in semantic_dedup(
+        df, threshold=0.4, n_clusters=2, max_cell=1000).collect()}
+    off = {r.vec_id: r.kept for r in semantic_dedup(
+        df, threshold=0.4, n_clusters=2, max_cell=None).collect()}
+    assert loose == off and len(off) == 40
+    with _pytest.raises(ValueError, match="max_cell"):
+        semantic_dedup(df, max_cell=0)
+
+
 def test_semantic_dedup_partition_independent(spark):
     from simple_html_parser_spark.operators.similarity import (
         semantic_dedup,
