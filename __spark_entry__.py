@@ -191,12 +191,55 @@ def _hex6_mod_sql(expr: str, buckets: int = 10000) -> str:
 # spark-side helpers
 
 
+def _par(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition immediately after the read (guide §2.5 input-skew
+    remedy): the sf testdata tables are SINGLE-row-group parquet
+    files — an unsplittable one-task scan — so without this every
+    map-side stage before the first exchange ran on one core of the
+    32; for the Python-kernel mapInArrow stages that single task IS
+    the query (r6 measured: css_serialize_api 2.5s -> 1.0s,
+    iterator_api 1.2 -> 0.87s, pdf_text_extract 1.40 -> 0.84s at
+    sf0.1).  The partition count scales with the
+    session's core budget — never a constant — and the exchange moves
+    under ~15 MB at test SFs; the explicit numPartitions keeps AQE
+    from re-coalescing it away.  Production inputs arrive in many
+    splits (and Iceberg tables expose real partitioning), so this is
+    the small-file floor, not a cluster setting; the deterministic
+    xxhash64 key follows the salt convention (never rand(), guide
+    §2.5/SPARK-38388)."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64(key))
+
+
+# _par policy, decided query-by-query with 4-trial A/Bs (r6,
+# OPTIMIZATION_r06.md): it PAYS where the map side before the first
+# exchange is Python-kernel work (parse/serialize/iterate/PDF — the
+# mapInArrow stages) and LOSES where the map side is a cheap JVM
+# projection feeding an aggregation (the exchange just adds a stage:
+# dedup_exact x2.0, ngram x1.4, curate_full x1.6, warc_extract
+# x1.4 measured WITH a blanket repartition).  Hence: _docs/_vdocs
+# (kernel-stage corpora) and the pdf/charset byte paths repartition;
+# _raw_docs (JVM tokenize/aggregate consumers) and the warc files
+# frame stay on the native scan partitioning.
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_documents(spark, sf_dir)
+    from simple_html_parser_spark.sources.documents import render_html
+    return render_html(_par(load_table(spark, sf_dir, "documents")))
 
 
 def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _vdocs(spark: SparkSession, sf_dir: str, variant: str) -> DataFrame:
+    from simple_html_parser_spark.sources.documents import render_variant
+    return render_variant(
+        _par(load_table(spark, sf_dir, "documents")), variant)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
 
 
 def _synthetic_host_edges(docs: DataFrame) -> DataFrame:
@@ -392,19 +435,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _struct_emit = ["node_id", "subtree_end", "bfs_rank", "depth",
                     "type", "name"]
     q["voids_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "voids"),
+        parse_nodes(_vdocs(spark, sf, "voids"),
                     columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["special_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "special"),
+        parse_nodes(_vdocs(spark, sf, "special"),
                     columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["malformed_structure_map"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "malformed"),
+        parse_nodes(_vdocs(spark, sf, "malformed"),
                     columns=_struct_emit)
         .select(*_struct_cols).distinct())
     q["special_js_tokens"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "special"),
+        parse_nodes(_vdocs(spark, sf, "special"),
                     columns=["url", "node_id", "type", "content",
                              "comment_type"])
         .where(F.col("node_id").isin(4, 5, 6, 7, 10, 13))
@@ -417,7 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # contents, kernel-derived and reference-verified (ref_dump with
     # special_tags=['script'] matches the kernel dump byte-for-byte).
     q["special_tags_config"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "special"),
+        parse_nodes(_vdocs(spark, sf, "special"),
                     special_tags=("script",),
                     columns=["url", "node_id", "subtree_end",
                              "bfs_rank", "depth", "type", "name",
@@ -425,32 +468,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "node_id", "bfs_rank", "depth", "subtree_end",
                 "type", "name", "comment_type", "content"))
     q["voids_attrs"] = lambda spark, sf: (
-        parse_nodes(load_documents_variant(spark, sf, "voids"),
+        parse_nodes(_vdocs(spark, sf, "voids"),
                     columns=["url", "name", "attrs"])
         .where(F.col("name").isin("img", "input"))
         .select("url", "name",
                 F.col("attrs")["src"].alias("src"),
                 F.col("attrs")["value"].alias("value")))
     q["kernel_query_api"] = lambda spark, sf: QA.kernel_query_api(
-        load_documents_variant(spark, sf, "main"))
+        _vdocs(spark, sf, "main"))
     q["kernel_iterator_api"] = lambda spark, sf: QA.iterator_api(
-        load_documents_variant(spark, sf, "voids"))
+        _vdocs(spark, sf, "voids"))
     q["css_query_api"] = lambda spark, sf: QA.css_query_api(
-        load_documents_variant(spark, sf, "cssy"))
+        _vdocs(spark, sf, "cssy"))
     q["css_serialize_api"] = lambda spark, sf: QA.css_serialize_api(
-        load_documents_variant(spark, sf, "cssy"))
+        _vdocs(spark, sf, "cssy"))
     q["doc_serialize_api"] = lambda spark, sf: QA.serialize_api(
-        load_documents_variant(spark, sf, "main"))
+        _vdocs(spark, sf, "main"))
     q["doc_visualize"] = lambda spark, sf: QA.visualize_api(
-        load_documents_variant(spark, sf, "main"))
+        _vdocs(spark, sf, "main"))
     q["doc_edit_pipeline"] = lambda spark, sf: ED.edit_roundtrip(
-        load_documents_variant(spark, sf, "main")) \
+        _vdocs(spark, sf, "main")) \
         .select("url", "ed_len", "ed_sha256")
     q["doc_roundtrip"] = lambda spark, sf: roundtrip_html(
-        load_documents_variant(spark, sf, "main")
-        .unionByName(load_documents_variant(spark, sf, "voids"))
-        .unionByName(load_documents_variant(spark, sf, "special"))
-        .unionByName(load_documents_variant(spark, sf, "malformed"))
+        # ONE repartition after the 4-variant union (A/B'd: four
+        # per-variant exchanges cost more than they parallelize)
+        _par(load_documents_variant(spark, sf, "main")
+             .unionByName(load_documents_variant(spark, sf, "voids"))
+             .unionByName(load_documents_variant(spark, sf, "special"))
+             .unionByName(
+                 load_documents_variant(spark, sf, "malformed")),
+             "url")
     ).select("url", "rt_len", "rt_sha256")
 
     # ---- r4 flagship block (registered EARLY on purpose) ----
@@ -464,7 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # learned coarse quantizer: fixed-seed integer-exact k-means, no
     # label column needed (the 10^12-vector unlabeled shape)
     q["ann_kmeans_topk"] = lambda spark, sf: S.ann_kmeans_topk(
-        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
+        _par(_emb(spark, sf), "vec_id"), _query_vec(spark, sf), 10,
         n_clusters=8, iters=2, nprobe=2)
     # REAL header decoders over synthesized closed-form PNG/WAV
     # payloads (decoded=true — the stub fallback only fires on
@@ -479,7 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # structurally-valid 3-page PDFs whose page texts are closed-form
     # in doc_id (sources/documents.py::render_pdf)
     q["pdf_text_extract"] = lambda spark, sf: PDF.extract_pdf_text(
-        render_pdf(_raw_docs(spark, sf)), col="payload")
+        render_pdf(_par(_raw_docs(spark, sf))), col="payload")
     # streaming surface: real readStream→writeStream runs
     # (availableNow) whose emitted output is deterministic by
     # construction — see runtime/streaming snapshot docstrings
@@ -538,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # WARC container path: files → records → extraction (the Common
     # Crawl first mile; files and every record field are closed-form)
+    # (A/B'd: repartitioning the files frame LOST — the binary
+    # payloads cross the exchange and the record parser is already
+    # fed by the agg's own partitioning)
     q["warc_records"] = lambda spark, sf: (
         WA.parse_warc(load_warc(spark, sf))
         .select("warc_id", "rec_idx", "target_uri", "warc_date",
@@ -607,25 +657,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity / ANN ----
     q["sim_topk"] = lambda spark, sf: S.cosine_topk(
-        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10)
+        _emb(spark, sf), _query_vec(spark, sf), 10)
     q["ann_ivf_topk"] = lambda spark, sf: S.ivf_topk(
-        load_table(spark, sf, "embeddings"), _query_vec(spark, sf), 10,
+        _emb(spark, sf), _query_vec(spark, sf), 10,
         nprobe=2)
     # τ=0.4: the synthetic embeddings max out at cos≈0.47 (sf0.01) /
     # 0.51 (sf0.1) within a label bucket — 0.8 made the check vacuous
     # (0 rows both sides, VERDICT r01 item 6); 0.4 yields 5 / 86 pairs
     q["embedding_dedup"] = lambda spark, sf: S.embedding_knn_dedup(
-        load_table(spark, sf, "embeddings"), threshold=0.4)
+        _emb(spark, sf), threshold=0.4)
     # SRP-LSH: the no-quantizer 10^12-vector shape (random-hyperplane
     # buckets instead of the label column)
     q["embedding_srp_lsh"] = lambda spark, sf: S.embedding_srp_lsh_dedup(
-        load_table(spark, sf, "embeddings"), threshold=0.4)
+        _emb(spark, sf), threshold=0.4)
     # SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
     # screening, keep-closest-to-centroid; τ=0.4 for the same
     # non-vacuity reason as embedding_dedup above (the synthetic
     # embeddings max out near cos 0.5)
     q["semantic_dedup"] = lambda spark, sf: S.semantic_dedup(
-        load_table(spark, sf, "embeddings"), threshold=0.4,
+        _par(_emb(spark, sf), "vec_id"), threshold=0.4,
         n_clusters=8, iters=2)
 
     # ---- text analysis ----
@@ -651,14 +701,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _raw_docs(spark, sf))
 
     # ---- multimodal plumbing ----
+    # plain loader: these are JVM projections / tiny decoders over the
+    # rendered pages — the _par exchange measurably costs more than
+    # the map side it would parallelize (see _par policy note)
     q["binary_meta"] = lambda spark, sf: MM.binary_metadata(
-        _docs(spark, sf))
+        load_documents(spark, sf))
     q["image_features_stub"] = lambda spark, sf: MM.extract_image_features(
-        _docs(spark, sf))
+        load_documents(spark, sf))
     q["audio_features_stub"] = lambda spark, sf: MM.extract_audio_features(
-        _docs(spark, sf))
+        load_documents(spark, sf))
     q["frame_sample"] = lambda spark, sf: MM.frame_sample(
-        _docs(spark, sf))
+        load_documents(spark, sf))
 
     # ---- relational built-ins ----
     q["q1_pricing"] = lambda spark, sf: R.pricing_summary(
@@ -680,13 +733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DECODE, not just the label (utf-16 misread as utf-8 would
     # roughly double the length)
     q["charset_sniff"] = lambda spark, sf: CS.detect_charset(
-        render_charset(_raw_docs(spark, sf)))
+        render_charset(_par(_raw_docs(spark, sf))))
     # end-to-end: the SAME mapInArrow extraction hot path, decoding
     # via the sniffer — all four byte encodings of a page must
     # extract the identical closed-form text
     q["charset_extract"] = lambda spark, sf: (
         extract_documents(
-            render_charset(_raw_docs(spark, sf))
+            render_charset(_par(_raw_docs(spark, sf)))
             .select("url", F.col("payload").alias("html")),
             sniff_charset=True)
         .select("url", "extracted_text"))
@@ -800,7 +853,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # embedding_dedup(r1-2), token_stats, quality_score,
     # doc_fingerprint, lang_id, clean_text, binary_meta,
     # image_features_stub, events_topk, part_shipped.
-    _R5_WINDOW = [
+    # ---- r6 driver window (VERDICT r5 item 4) ----
+    # The §2 parser core + charset pair stay pinned (kernel and the
+    # r6 node-emission rewrite touch them all).  The 16 queries whose
+    # last driver row was r2/r3 rotate IN (embedding_dedup,
+    # token_stats, quality_score, doc_fingerprint, lang_id,
+    # clean_text, binary_meta, image/audio_features_stub, events_topk,
+    # part_shipped, embedding_srp_lsh, sim_topk, ann_ivf_topk,
+    # crawl_delta, crawl_domain_sample).  Of the r5-green block, the
+    # five whose internals the r6 optimization round changed keep
+    # their slots (curation_pipeline/dedup_clusters — the pair-list
+    # checkpoint; semantic_dedup — the a<b pair join + max_cell
+    # guard; crawl_token_budget — the n_buckets_hex knob; curate_full
+    # — the unpersist plumbing); the rest rotate OUT with fresh r5
+    # rows (link_graph, link_pagerank, dedup_substrings, lm_fluency,
+    # lang_distribution, repetition_stats, frame_sample,
+    # crawl_domain_mix, crawl_domain_quota, tfidf_topk, gopher_rules,
+    # repetition_filters, dsir_weights, stream_sessionize,
+    # q1_pricing, q3_top_orders).
+    _R6_WINDOW = [
         "extract_parity", "extract_main_content", "extract_stats",
         "nodes_type_counts", "nodes_tag_counts", "doc_links",
         "doc_comments", "css_rule_selectors", "nodes_structure_map",
@@ -813,21 +884,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_edit_pipeline", "doc_roundtrip",
         "charset_sniff", "charset_extract",
         "curation_pipeline", "dedup_clusters",
-        "crawl_token_budget", "link_graph", "link_pagerank",
-        "dedup_substrings", "lm_fluency",
-        "semantic_dedup", "lang_distribution", "repetition_stats",
-        "frame_sample",
-        "crawl_domain_mix", "crawl_domain_quota",
-        "tfidf_topk",
-        "gopher_rules", "repetition_filters", "dsir_weights",
-        "curate_full", "stream_sessionize",
-        "q1_pricing", "q3_top_orders",
+        "crawl_token_budget", "semantic_dedup", "curate_full",
+        "embedding_dedup", "token_stats", "quality_score",
+        "doc_fingerprint", "lang_id", "clean_text", "binary_meta",
+        "image_features_stub", "audio_features_stub", "events_topk",
+        "part_shipped", "embedding_srp_lsh", "sim_topk",
+        "ann_ivf_topk", "crawl_delta", "crawl_domain_sample",
     ]
-    assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
-    assert all(k in q for k in _R5_WINDOW), \
-        [k for k in _R5_WINDOW if k not in q]
-    return {k: q[k] for k in _R5_WINDOW} | \
-        {k: v for k, v in q.items() if k not in _R5_WINDOW}
+    assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+    assert all(k in q for k in _R6_WINDOW), \
+        [k for k in _R6_WINDOW if k not in q]
+    return {k: q[k] for k in _R6_WINDOW} | \
+        {k: v for k, v in q.items() if k not in _R6_WINDOW}
 
 
 def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:

@@ -18,15 +18,16 @@ The SPARK plan must not replay it that way: a window partitioned by
 group sorts the whole group in one task — at 10^12 docs a single
 language is most of the corpus, an unboundable straggler (AQE skew
 handling does not apply to windows).  ``token_budget_mix`` instead
-uses a histogram-cutoff: docs hash into 4096 md5-prefix buckets;
-per-(group, bucket) token sums form a GROUPS x 4096 frame (driver-
-scale by construction, regardless of corpus size) on which the
-cumulative scan runs; every bucket strictly below the crossing point
-is kept whole, every bucket above is dropped whole, and only the ONE
-crossing bucket per group — corpus/4096 docs — pays a per-doc window.
-Bucket order is the md5-prefix order, so bucket cumsums are exact
-prefixes of the global rule: the result is bit-identical to the
-window form (pytest proves equality).
+uses a histogram-cutoff: docs hash into 16^h md5-prefix buckets
+(``n_buckets_hex`` = h, a scale knob — see the function docstring);
+per-(group, bucket) token sums form a GROUPS x 16^h frame (bounded
+by construction, regardless of corpus size) on which the cumulative
+scan runs; every bucket strictly below the crossing point is kept
+whole, every bucket above is dropped whole, and only the ONE
+crossing bucket per group — ~corpus/16^h docs — pays a per-doc
+window.  Bucket order is the md5-prefix order, so bucket cumsums are
+exact prefixes of the global rule: the result is bit-identical to
+the window form at ANY h (pytest proves equality).
 
 Scale shape: one partial-aggregating hash-agg on a bounded keyspace +
 two broadcast joins of a by-construction-small frame + one window
@@ -41,10 +42,11 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-N_BUCKETS_HEX = 3  # md5 hex-prefix length: 16^3 = 4096 buckets
+N_BUCKETS_HEX = 3  # default md5 hex-prefix length: 16^3 = 4096 buckets
 
 
-def _keyed_tokens(docs: DataFrame, group_col: str) -> DataFrame:
+def _keyed_tokens(docs: DataFrame, group_col: str,
+                  n_buckets_hex: int) -> DataFrame:
     """(group, url, n_tokens, mk, bucket) — md5 ranking key and its
     hex-prefix bucket.  Lexicographic order on the prefix is
     consistent with order on the full digest, which makes bucket
@@ -54,11 +56,12 @@ def _keyed_tokens(docs: DataFrame, group_col: str) -> DataFrame:
         "url",
         F.size(tokens_col()).cast("bigint").alias("n_tokens"),
         F.md5(F.col("url")).alias("mk"),
-    ).withColumn("bucket", F.substring("mk", 1, N_BUCKETS_HEX))
+    ).withColumn("bucket", F.substring("mk", 1, n_buckets_hex))
 
 
 def token_budget_mix(docs: DataFrame, budget_tokens: int,
-                     group_col: str = "lang") -> DataFrame:
+                     group_col: str = "lang",
+                     n_buckets_hex: int = N_BUCKETS_HEX) -> DataFrame:
     """Documents(url, text, <group_col>) → the kept subset
     (<group_col>, url, n_tokens) under a per-group token budget.
 
@@ -66,8 +69,23 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int,
     (md5(url), url) order, keep while the inclusive running
     n_tokens total is <= ``budget_tokens``.  Zero-token docs at the
     boundary are kept (<=, not <) — the rule is a pure prefix.
-    """
-    toks = _keyed_tokens(docs, group_col)
+
+    ``n_buckets_hex`` (1..8) sets the md5-prefix length h: the
+    histogram has GROUPS x 16^h rows and the one crossing bucket per
+    group — the only rows that pay a per-doc window sort — holds
+    ~corpus/16^h docs.  The OUTPUT is identical for every h (the
+    bucket cut is an exact prefix of the global order at any
+    granularity; pytest proves h=2 ≡ h=3 ≡ the single-window form),
+    so h is purely a scale knob: pick h with corpus/16^h ≲ 10^6 —
+    h=5 caps the crossing-bucket sort at ~10^6 rows per group even
+    at 10^12 docs, while the histogram (16^5 = ~1M rows x groups,
+    partial-aggregated) stays a driver-irrelevant exchange.  The
+    r5-era fixed h=3 made the crossing bucket corpus/4096 — linear
+    in corpus, an unbounded straggler (VERDICT r5 finding #2)."""
+    if not 1 <= n_buckets_hex <= 8:
+        raise ValueError(
+            f"n_buckets_hex must be in 1..8, got {n_buckets_hex}")
+    toks = _keyed_tokens(docs, group_col, n_buckets_hex)
 
     # GROUPS x 4096 histogram: the only corpus-wide exchange, and a
     # partial-aggregating one (4096 keys per group absorb any skew).
@@ -113,7 +131,7 @@ def token_budget_mix_window(docs: DataFrame, budget_tokens: int,
     tasks; exists so pytest can prove the histogram-cutoff form
     IDENTICAL on every corpus (mirrors domain_quota's two-form
     proof)."""
-    toks = _keyed_tokens(docs, group_col)
+    toks = _keyed_tokens(docs, group_col, N_BUCKETS_HEX)
     w = (Window.partitionBy("grp").orderBy("mk", "url")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (toks.withColumn("cum", F.sum("n_tokens").over(w))

@@ -6,7 +6,7 @@ closed-form DuckDB oracle in __spark_entry__.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
@@ -277,8 +277,6 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     co-partitioned and AQE's skew-join splits the stopword keys; the
     only Window partitions by doc_id, so each sort group is bounded
     by one document's distinct-term count, never the corpus."""
-    from pyspark.sql import Window
-
     tf = (docs.select("doc_id", tokens_col().alias("_t"))
           .select("doc_id", F.explode("_t").alias("term"))
           .groupBy("doc_id", "term")
