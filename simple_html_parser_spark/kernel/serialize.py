@@ -78,7 +78,13 @@ def get_tag(tree: FlatTree, nid: int) -> str:
 def to_html(tree: FlatTree, nid: int = 0, show_comments: bool = False) -> str:
     """node.toHtml(showComments) (node.js:1921-1970), iterative."""
     parts: list[str] = []
-    stack: list[tuple[int, int | str]] = [(0, nid)]  # (0=node, 1=literal)
+    # bare node-id stack: close tags are SEPARATE sibling nodes in the
+    # FlatTree, so no deferred-literal entries are ever needed — the
+    # former (kind, v) tuple encoding allocated one tuple per visited
+    # node for a dead branch; children push via one C-level extend of
+    # a reversed slice (identical visit order)
+    stack: list[int] = [nid]
+    ext = stack.extend
     children = tree.children
     ttype = tree.type
     # manipulation can create cycles (appendChild of an ancestor — the
@@ -89,10 +95,7 @@ def to_html(tree: FlatTree, nid: int = 0, show_comments: bool = False) -> str:
         budget -= 1
         if budget < 0:
             raise RuntimeError("serialization cycle / runaway tree")
-        kind, v = stack.pop()
-        if kind == 1:
-            parts.append(v)
-            continue
+        v = stack.pop()
         ty = ttype[v]
         if ty == TEXT:
             parts.append(tree.content[v])
@@ -105,15 +108,15 @@ def to_html(tree: FlatTree, nid: int = 0, show_comments: bool = False) -> str:
             kids = children[v]
             if tree.is_style_block(v) and kids:
                 parts.append("\n" + css_tree_to_string(tree, kids, 0))
-            else:
-                for c in reversed(kids):
-                    stack.append((0, c))
+            elif kids:
+                ext(kids[::-1])
         elif ty == TAG_CLOSE:
             parts.append(f"</{tree.name[v]}>")
         else:
             # root / css-root / css-rule / css-at-rule: children concat
-            for c in reversed(children[v]):
-                stack.append((0, c))
+            kids = children[v]
+            if kids:
+                ext(kids[::-1])
     return "".join(parts)
 
 
