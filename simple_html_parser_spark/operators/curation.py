@@ -221,7 +221,8 @@ def curate_full(
         docs3 = docs3.persist(StorageLevel.MEMORY_AND_DISK)
         if unpersist_handles is not None:
             unpersist_handles.append(docs3)
-    flu = lm_fluency(docs3.select("doc_id", "text", "lang")) \
+    flu = lm_fluency(docs3.select("doc_id", "text", "lang"),
+                     unpersist_handles=unpersist_handles) \
         .select("doc_id", "fluency_bp", "bucket")
     base = _quality_lang_base(
         docs3, quality_min_bp,

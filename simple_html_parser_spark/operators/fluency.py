@@ -58,14 +58,27 @@ def bigrams_exploded(docs: DataFrame) -> DataFrame:
 
 
 def lm_fluency(docs: DataFrame, ref: DataFrame | None = None,
-               min_count: int = 2, cap: int = 65535) -> DataFrame:
+               min_count: int = 2, cap: int = 65535,
+               unpersist_handles: list | None = None) -> DataFrame:
     """(doc_id, lang, n_bigrams, fluency_bp, bucket) for every input
     doc.  ``ref`` is the LM training frame (doc_id, text, lang);
     default: the scored corpus itself (CCNet trains on a reference
     corpus — pass one — but self-training is the in-repo oracle form).
     Empty/1-token docs score 0 and land in the tail by construction.
+
+    When self-training, the bigram frame feeds TWO consumers (the LM
+    count table and the scoring join) and Catalyst re-runs the
+    tokenize+explode per consumer — so it persists MEMORY_AND_DISK
+    (r6 A/B at sf0.1: 1.64 -> 1.47 s, and one fewer full corpus pass
+    at scale; appended to ``unpersist_handles`` when given).  With an
+    explicit ``ref`` each frame has one consumer and nothing persists.
     """
     bg = bigrams_exploded(docs)
+    if ref is None:
+        from pyspark import StorageLevel
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handles is not None:
+            unpersist_handles.append(bg)
     ref_bg = bg if ref is None else bigrams_exploded(ref)
     lm = (ref_bg.groupBy("lang", "b")
           .agg(F.count("*").alias("_c"))
