@@ -171,7 +171,13 @@ def dedup_ngram_jaccard(
     hot = _hot_shingles(docs, n, max_shingle_df, exploded=ex_raw)
     ex = ex_raw if hot is None \
         else ex_raw.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # consumed twice (sa and sb below) — persist so the per-doc count
+    # aggregation runs once, not once per join side (two ints per doc;
+    # the union-branch non-CSE class, see dedup_minhash_lsh's sets)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_handles is not None:
+        unpersist_handles.append(sizes)
 
     a = ex.alias("a")
     b = ex.alias("b")
@@ -319,11 +325,19 @@ def dedup_minhash_lsh(
         .distinct()
     )
     # verification sets come from the SAME persisted shingle frame —
-    # semi-join prune to candidate docs, then collect per-doc sets
+    # semi-join prune to candidate docs, then collect per-doc sets.
+    # Persisted because the frame is consumed TWICE (the sa and sb
+    # sides of the pair join) and Catalyst re-runs the collect_set
+    # aggregation per consumer otherwise (the union-branch non-CSE
+    # class; r6 A/B, identical 256-pair output: warm 1.1-1.3 s ->
+    # 0.8-1.0 s).  Bounded by candidate docs, not the corpus.
     sets = (
         ex.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if unpersist_handles is not None:
+        unpersist_handles.append(sets)
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shs").alias("shs_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
