@@ -85,7 +85,14 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int,
     if not 1 <= n_buckets_hex <= 8:
         raise ValueError(
             f"n_buckets_hex must be in 1..8, got {n_buckets_hex}")
-    toks = _keyed_tokens(docs, group_col, n_buckets_hex)
+    from pyspark import StorageLevel
+
+    # persisted: the keyed frame feeds THREE consumers (the histogram
+    # agg, the kept-whole semi-join probe, the crossing-bucket join)
+    # and Catalyst re-runs the tokenize+md5 projection per consumer
+    # without it (the twice-consumed-frame non-CSE class, r6)
+    toks = _keyed_tokens(docs, group_col, n_buckets_hex) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     # GROUPS x 4096 histogram: the only corpus-wide exchange, and a
     # partial-aggregating one (4096 keys per group absorb any skew).
